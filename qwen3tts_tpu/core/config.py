@@ -1,0 +1,290 @@
+"""Configuration dataclasses for the Qwen3-TTS TPU framework.
+
+The reference engine (see /root/reference SURVEY.md §2.2) delegates model
+configuration to the upstream ``qwen_tts`` package's HF ``config.json``.  Here
+the full model surface is first-party, so every sub-model has an explicit
+config dataclass.  ``TTSModelConfig.from_json`` loads a HF-style checkpoint
+config; ``presets.py`` provides self-consistent architectures for the
+0.6B / 1.7B model families when no checkpoint is on disk.
+
+Reference parity notes (file:line cites into /root/reference):
+  - codec frame rate 12 Hz, 16 codebooks/frame: faster_qwen3_tts/model.py:659,
+    predictor_graph.py:44-46.
+  - special codec-token ids (think/bos/pad/eos/language/speaker tables):
+    faster_qwen3_tts/model.py:366-427, generate.py:41-43.
+  - static talker cache default 2048: model.py:37, cli.py:27.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+
+
+def _dtype_of(name: str):
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32, "float16": jnp.float16}[name]
+
+
+@dataclasses.dataclass(frozen=True)
+class TalkerConfig:
+    """28-layer Qwen3-style decoder that emits the first codec codebook.
+
+    MRoPE with 3 position axes (reference: talker_graph.py:53 keeps a
+    ``[3,1,1]`` position buffer); for TTS all three axes carry the same
+    position, ``mrope_section`` controls the per-axis split of rotary dims.
+    """
+
+    hidden_size: int = 1024
+    num_hidden_layers: int = 28
+    num_attention_heads: int = 16
+    num_key_value_heads: int = 8
+    head_dim: int = 128
+    intermediate_size: int = 3072
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 1_000_000.0
+    mrope_section: Tuple[int, int, int] = (24, 20, 20)  # sums to head_dim // 2
+    # Codec-token vocabulary: first `codec_codebook_size` ids are acoustic
+    # codes; the trailing 1024-id zone holds control tokens (suppressed during
+    # sampling except EOS — reference generate.py:46-50).
+    vocab_size: int = 3072
+    codec_codebook_size: int = 2048
+    num_code_groups: int = 16
+    # Text side: token embeddings come from the text LM vocab and are projected
+    # into the talker's hidden space (reference model.py:353, 395-403).
+    text_vocab_size: int = 151_936
+    text_hidden_size: int = 1024
+    # Sliding-window attention: layer_types[i] in {"full_attention",
+    # "sliding_attention"}; None => all full.
+    sliding_window: Optional[int] = None
+    layer_types: Optional[Tuple[str, ...]] = None
+    max_position_embeddings: int = 32768
+
+    # --- special codec token ids (control zone, near top of vocab) ---
+    codec_eos_token_id: int = 2150
+    codec_pad_id: int = 2148
+    codec_bos_id: int = 2149
+    codec_nothink_id: int = 2155
+    codec_think_id: int = 2154
+    codec_think_bos_id: int = 2156
+    codec_think_eos_id: int = 2157
+    # language-id and speaker-id tables live in the control zone as well
+    codec_language_id: Dict[str, int] = dataclasses.field(
+        default_factory=lambda: {
+            "chinese": 2160,
+            "english": 2161,
+            "german": 2162,
+            "italian": 2163,
+            "portuguese": 2164,
+            "spanish": 2165,
+            "japanese": 2166,
+            "korean": 2167,
+            "french": 2168,
+            "russian": 2169,
+            "cantonese": 2170,
+            "beijing_dialect": 2171,
+            "sichuan_dialect": 2172,
+            "shanghai_dialect": 2173,
+        }
+    )
+    spk_id: Dict[str, int] = dataclasses.field(
+        default_factory=lambda: {
+            "vivian": 2300,
+            "serena": 2301,
+            "uncle_fu": 2302,
+            "dylan": 2303,
+            "eric": 2304,
+            "ryan": 2305,
+            "aiden": 2306,
+            "lulu": 2307,
+            "patrick": 2308,
+        }
+    )
+    spk_is_dialect: Dict[str, Any] = dataclasses.field(
+        default_factory=lambda: {
+            "vivian": False,
+            "serena": False,
+            "uncle_fu": "beijing_dialect",
+            "dylan": "beijing_dialect",
+            "eric": "sichuan_dialect",
+            "ryan": False,
+            "aiden": False,
+            "lulu": False,
+            "patrick": False,
+        }
+    )
+
+    @property
+    def num_kv_groups(self) -> int:
+        return self.num_attention_heads // self.num_key_value_heads
+
+    def layer_is_sliding(self, idx: int) -> bool:
+        if self.sliding_window is None or self.layer_types is None:
+            return False
+        return self.layer_types[idx] == "sliding_attention"
+
+
+@dataclasses.dataclass(frozen=True)
+class PredictorConfig:
+    """5-layer MTP transformer producing codebooks 1..15.
+
+    Reference: predictor_graph.py:44-57 — ``num_codebooks = num_code_groups-1``,
+    ``max_seq = 2 + num_codebooks``, per-codebook lm heads and embeddings.
+    """
+
+    hidden_size: int = 1024
+    num_hidden_layers: int = 5
+    num_attention_heads: int = 16
+    num_key_value_heads: int = 8
+    head_dim: int = 64
+    intermediate_size: int = 3072
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 1_000_000.0
+    num_code_groups: int = 16
+    codebook_size: int = 2048
+    sliding_window: Optional[int] = None
+    layer_types: Optional[Tuple[str, ...]] = None
+
+    @property
+    def num_codebooks(self) -> int:
+        return self.num_code_groups - 1
+
+    @property
+    def max_seq(self) -> int:
+        return 2 + self.num_codebooks
+
+    @property
+    def num_kv_groups(self) -> int:
+        return self.num_attention_heads // self.num_key_value_heads
+
+
+@dataclasses.dataclass(frozen=True)
+class CodecConfig:
+    """12 Hz neural codec (speech tokenizer): decoder (code→wav) and encoder.
+
+    Decoder architecture follows the public Code2Wav family: summed RVQ code
+    embeddings → sliding-window pre-transformer → ConvNeXt upsampling →
+    BigVGAN-style SnakeBeta conv stack.  Total upsample must equal
+    sample_rate / frame_rate (24000 / 12 = 2000).
+    """
+
+    codebook_size: int = 2048
+    num_quantizers: int = 16
+    hidden_size: int = 512
+    num_hidden_layers: int = 4
+    num_attention_heads: int = 8
+    num_key_value_heads: int = 8
+    head_dim: int = 64
+    intermediate_size: int = 1536
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 10_000.0
+    sliding_window: int = 72
+    layer_scale_initial_scale: float = 0.01
+    upsampling_ratios: Tuple[int, ...] = (2, 2)        # pre-decoder ConvNeXt stages
+    upsample_rates: Tuple[int, ...] = (5, 5, 4, 5)     # decoder transposed-conv stages
+    decoder_dim: int = 1024
+    sample_rate: int = 24_000
+    frame_rate: int = 12
+
+    @property
+    def total_upsample(self) -> int:
+        t = 1
+        for r in self.upsample_rates:
+            t *= r
+        for r in self.upsampling_ratios:
+            t *= r
+        return t
+
+    def __post_init__(self):
+        if self.total_upsample != self.sample_rate // self.frame_rate:
+            raise ValueError(
+                f"codec upsample {self.total_upsample} != "
+                f"{self.sample_rate}/{self.frame_rate}"
+            )
+
+
+@dataclasses.dataclass(frozen=True)
+class SpeakerEncoderConfig:
+    """ECAPA-TDNN-style x-vector speaker encoder → 2048-dim embedding.
+
+    Reference artifact contract: 2048-dim bf16 ≈ 4 KB (README.md:411,
+    examples/extract_speaker.py:32-39).
+    """
+
+    mel_bins: int = 80
+    channels: int = 512
+    emb_dim: int = 2048
+    num_blocks: int = 3
+    kernel_sizes: Tuple[int, ...] = (5, 3, 3, 3)
+    dilations: Tuple[int, ...] = (1, 2, 3, 4)
+    attention_channels: int = 128
+    sample_rate: int = 16_000
+
+
+@dataclasses.dataclass(frozen=True)
+class TTSModelConfig:
+    """Top-level config for one Qwen3-TTS model instance."""
+
+    model_type: str = "base"  # base | custom_voice | voice_design
+    model_size: str = "0.6b"
+    talker: TalkerConfig = dataclasses.field(default_factory=TalkerConfig)
+    predictor: PredictorConfig = dataclasses.field(default_factory=PredictorConfig)
+    codec: CodecConfig = dataclasses.field(default_factory=CodecConfig)
+    speaker_encoder: SpeakerEncoderConfig = dataclasses.field(
+        default_factory=SpeakerEncoderConfig
+    )
+    # Text-side special ids used by prompt assembly (reference model.py:395-403)
+    tts_bos_token_id: int = 151_672
+    tts_eos_token_id: int = 151_673
+    tts_pad_token_id: int = 151_671
+    dtype: str = "bfloat16"
+    sample_rate: int = 24_000
+
+    @property
+    def jnp_dtype(self):
+        return _dtype_of(self.dtype)
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def from_json(path: str | Path) -> "TTSModelConfig":
+        """Load a HF-style checkpoint config.json (upstream key layout)."""
+        raw = json.loads(Path(path).read_text())
+        return TTSModelConfig.from_dict(raw)
+
+    @staticmethod
+    def from_dict(raw: Dict[str, Any]) -> "TTSModelConfig":
+        tk = dict(raw.get("talker_config", {}))
+        pred = dict(tk.pop("code_predictor_config", raw.get("code_predictor_config", {})))
+        codec = dict(raw.get("speech_tokenizer_config", raw.get("code2wav_config", {})))
+        spk = dict(raw.get("speaker_encoder_config", {}))
+
+        def filt(cls, d):
+            names = {f.name for f in dataclasses.fields(cls)}
+            clean = {}
+            for k, v in d.items():
+                if k in names:
+                    if isinstance(v, list):
+                        v = tuple(v)
+                    clean[k] = v
+            return cls(**clean)
+
+        cfg = TTSModelConfig(
+            model_type=raw.get("tts_model_type", raw.get("model_type", "base")),
+            model_size=str(raw.get("tts_model_size", "0.6b")),
+            talker=filt(TalkerConfig, tk),
+            predictor=filt(PredictorConfig, pred),
+            codec=filt(CodecConfig, codec) if codec else CodecConfig(),
+            speaker_encoder=filt(SpeakerEncoderConfig, spk)
+            if spk
+            else SpeakerEncoderConfig(),
+            tts_bos_token_id=raw.get("tts_bos_token_id", 151_672),
+            tts_eos_token_id=raw.get("tts_eos_token_id", 151_673),
+            tts_pad_token_id=raw.get("tts_pad_token_id", 151_671),
+            dtype=raw.get("torch_dtype", "bfloat16"),
+        )
+        return cfg
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)

@@ -1,0 +1,219 @@
+"""Shared Qwen3-style decoder-layer primitives (functional JAX, TPU-first).
+
+Both the talker (28 layers) and the code predictor (5 layers) are stacks of
+identical blocks: RMSNorm → GQA attention with per-head q/k norm + RoPE →
+RMSNorm → SwiGLU MLP.  Parameters are *layer-stacked* (leading ``L`` axis) and
+the stack is traversed with ``lax.scan`` so XLA compiles one block, not 28.
+
+The reference drives the upstream torch forward through CUDA graphs
+(talker_graph.py:97-107); here the equivalent "graph" is simply the jitted
+function containing these ops, and masks are computed in-graph from traced
+scalars (position, pad_count) rather than from precomputed mask tables
+(talker_graph.py:74-95).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.rope import apply_rope
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockSpec:
+    """Static geometry of a decoder-layer stack."""
+
+    num_layers: int
+    hidden_size: int
+    num_heads: int
+    num_kv_heads: int
+    head_dim: int
+    intermediate_size: int
+    rms_norm_eps: float = 1e-6
+
+    @property
+    def q_dim(self) -> int:
+        return self.num_heads * self.head_dim
+
+    @property
+    def kv_dim(self) -> int:
+        return self.num_kv_heads * self.head_dim
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+
+def init_block_stack(key: jax.Array, spec: BlockSpec, dtype) -> Dict[str, jnp.ndarray]:
+    """Random-init a stacked parameter pytree for ``spec.num_layers`` blocks."""
+    L, H, I = spec.num_layers, spec.hidden_size, spec.intermediate_size
+    D = spec.head_dim
+    ks = jax.random.split(key, 8)
+
+    def w(k, shape, fan_in):
+        return (jax.random.normal(k, shape, jnp.float32) * (fan_in**-0.5)).astype(dtype)
+
+    return {
+        "input_norm": jnp.ones((L, H), dtype),
+        "q_proj": w(ks[0], (L, H, spec.q_dim), H),
+        "k_proj": w(ks[1], (L, H, spec.kv_dim), H),
+        "v_proj": w(ks[2], (L, H, spec.kv_dim), H),
+        "o_proj": w(ks[3], (L, spec.q_dim, H), spec.q_dim),
+        "q_norm": jnp.ones((L, D), dtype),
+        "k_norm": jnp.ones((L, D), dtype),
+        "post_norm": jnp.ones((L, H), dtype),
+        "gate_proj": w(ks[4], (L, H, I), H),
+        "up_proj": w(ks[5], (L, H, I), H),
+        "down_proj": w(ks[6], (L, I, H), I),
+    }
+
+
+def init_kv_cache(
+    spec: BlockSpec, batch: int, max_len: int, dtype
+) -> Dict[str, jnp.ndarray]:
+    """Static KV cache pytree: the TPU analog of transformers StaticCache
+    (talker_graph.py:43).  Donated across jitted steps so updates are in-place."""
+    shape = (spec.num_layers, batch, max_len, spec.num_kv_heads, spec.head_dim)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+# ---------------------------------------------------------------------------
+# math
+# ---------------------------------------------------------------------------
+
+
+def rms_norm(x: jnp.ndarray, w: jnp.ndarray, eps: float) -> jnp.ndarray:
+    dt = x.dtype
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps)).astype(dt) * w
+
+
+def _attn_core(
+    q: jnp.ndarray,  # [B, Tq, NH, D]
+    k: jnp.ndarray,  # [B, S, KVH, D]
+    v: jnp.ndarray,  # [B, S, KVH, D]
+    mask: jnp.ndarray,  # [B, Tq, S] bool (True = attend)
+    num_kv_groups: int,
+) -> jnp.ndarray:
+    B, Tq, NH, D = q.shape
+    S = k.shape[1]
+    KVH = k.shape[2]
+    q = q.reshape(B, Tq, KVH, num_kv_groups, D)
+    scores = jnp.einsum(
+        "btkgd,bskd->bkgts", q, k, preferred_element_type=jnp.float32
+    ) * (D**-0.5)  # [B, KVH, G, Tq, S]
+    scores = jnp.where(mask[:, None, None, :, :], scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum(
+        "bkgts,bskd->btkgd", probs.astype(v.dtype), v, preferred_element_type=jnp.float32
+    )
+    return out.reshape(B, Tq, NH, D).astype(v.dtype)
+
+
+def block_forward(
+    layer_params: Dict[str, jnp.ndarray],  # one layer (no leading L axis)
+    x: jnp.ndarray,  # [B, Tq, H]
+    cos: jnp.ndarray,  # [B, Tq, D]
+    sin: jnp.ndarray,
+    k_cache: jnp.ndarray,  # [B, S, KVH, D]
+    v_cache: jnp.ndarray,
+    write_pos: jnp.ndarray,  # scalar int32 — where new K/V rows go
+    mask: jnp.ndarray,  # [B, Tq, S] bool
+    spec: BlockSpec,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One decoder block over an S-slot static KV cache.  Returns
+    (x_out, k_cache', v_cache')."""
+    B, Tq, H = x.shape
+    p = layer_params
+    eps = spec.rms_norm_eps
+
+    h = rms_norm(x, p["input_norm"], eps)
+    q = (h @ p["q_proj"]).reshape(B, Tq, spec.num_heads, spec.head_dim)
+    k = (h @ p["k_proj"]).reshape(B, Tq, spec.num_kv_heads, spec.head_dim)
+    v = (h @ p["v_proj"]).reshape(B, Tq, spec.num_kv_heads, spec.head_dim)
+    q = rms_norm(q, p["q_norm"], eps)
+    k = rms_norm(k, p["k_norm"], eps)
+    q, k = apply_rope(q, k, cos, sin)
+
+    k_cache = jax.lax.dynamic_update_slice(k_cache, k, (0, write_pos, 0, 0))
+    v_cache = jax.lax.dynamic_update_slice(v_cache, v, (0, write_pos, 0, 0))
+
+    attn = _attn_core(q, k_cache, v_cache, mask, spec.num_heads // spec.num_kv_heads)
+    x = x + attn.reshape(B, Tq, spec.q_dim) @ p["o_proj"]
+
+    h = rms_norm(x, p["post_norm"], eps)
+    x = x + (jax.nn.silu(h @ p["gate_proj"]) * (h @ p["up_proj"])) @ p["down_proj"]
+    return x, k_cache, v_cache
+
+
+def stack_forward(
+    stack_params: Dict[str, jnp.ndarray],  # layer-stacked [L, ...]
+    x: jnp.ndarray,  # [B, Tq, H]
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    kv: Dict[str, jnp.ndarray],  # {"k","v"}: [L, B, S, KVH, D]
+    write_pos: jnp.ndarray,  # scalar int32
+    mask_full: jnp.ndarray,  # [B, Tq, S]
+    spec: BlockSpec,
+    mask_sliding: Optional[jnp.ndarray] = None,  # [B, Tq, S] for sliding layers
+    layer_is_sliding: Optional[jnp.ndarray] = None,  # [L] bool
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Run the whole layer stack with lax.scan.  Returns (x_out, kv')."""
+
+    if layer_is_sliding is None or mask_sliding is None:
+        layer_is_sliding = jnp.zeros((spec.num_layers,), bool)
+        mask_sliding = mask_full
+
+    def body(carry, inp):
+        xc = carry
+        lp, kc, vc, sliding = inp
+        m = jnp.where(sliding, mask_sliding, mask_full)
+        xc, kc, vc = block_forward(lp, xc, cos, sin, kc, vc, write_pos, m, spec)
+        return xc, (kc, vc)
+
+    x_out, (k_new, v_new) = jax.lax.scan(
+        body, x, (stack_params, kv["k"], kv["v"], layer_is_sliding)
+    )
+    return x_out, {"k": k_new, "v": v_new}
+
+
+# ---------------------------------------------------------------------------
+# masks — computed from traced scalars, replacing the reference's mask tables
+# ---------------------------------------------------------------------------
+
+
+def decode_mask(
+    max_len: int,
+    pos: jnp.ndarray,  # scalar int32: current absolute cache position
+    pad_count: jnp.ndarray,  # [B] int32: left-pad rows to ignore
+    sliding_window: Optional[int] = None,
+) -> jnp.ndarray:
+    """[B, 1, max_len] bool mask for a single-token decode step."""
+    idx = jnp.arange(max_len, dtype=jnp.int32)[None, None, :]
+    pc = pad_count[:, None, None]
+    m = (idx <= pos) & (idx >= pc)
+    if sliding_window is not None:
+        m = m & (idx > pos - sliding_window)
+    return m
+
+
+def prefill_mask(
+    seq_len: int,
+    max_len: int,
+    pad_count: jnp.ndarray,  # [B]
+    sliding_window: Optional[int] = None,
+) -> jnp.ndarray:
+    """[B, seq_len, max_len] causal + left-pad mask for bucketed prefill.
+    Key slots >= seq_len (future cache slots) are masked out."""
+    qi = jnp.arange(seq_len, dtype=jnp.int32)[None, :, None]
+    ki = jnp.arange(max_len, dtype=jnp.int32)[None, None, :]
+    pc = pad_count[:, None, None]
+    m = (ki <= qi) & (ki >= pc) & (ki < seq_len)
+    if sliding_window is not None:
+        m = m & (ki > qi - sliding_window)
+    return m

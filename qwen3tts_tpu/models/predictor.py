@@ -1,0 +1,172 @@
+"""The code predictor: 5-layer MTP transformer emitting codebooks 1..15.
+
+The reference captures the *entire* 15-step loop — including sampling — as a
+single CUDA graph (predictor_graph.py:115-167).  The TPU-native equivalent is
+one jitted function: a 2-token prefill followed by a ``lax.scan`` over the 14
+remaining codebooks, with the per-codebook LM heads and embedding tables
+layer-stacked and indexed inside the scan.  The tiny KV cache (max_seq = 17,
+predictor_graph.py:46) lives entirely inside the function as scan carry — it
+never round-trips to host.
+
+Unlike the reference, the sampling policy is NOT frozen at capture time
+(predictor_graph.py:34-50): it is ordinary (static) function arguments, and
+the PRNG key is threaded per call.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import PredictorConfig
+from ..ops.rope import mrope_cos_sin
+from ..ops.sampling import sample_logits
+from .layers import (
+    BlockSpec,
+    decode_mask,
+    init_block_stack,
+    init_kv_cache,
+    prefill_mask,
+    rms_norm,
+    stack_forward,
+)
+
+Params = Dict[str, jnp.ndarray]
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplingPolicy:
+    """Static sampling policy (hashable → usable as a jit static arg)."""
+
+    do_sample: bool = True
+    top_k: int = 50
+    top_p: float = 1.0
+    temperature: float = 0.9
+
+
+def block_spec(cfg: PredictorConfig) -> BlockSpec:
+    return BlockSpec(
+        num_layers=cfg.num_hidden_layers,
+        hidden_size=cfg.hidden_size,
+        num_heads=cfg.num_attention_heads,
+        num_kv_heads=cfg.num_key_value_heads,
+        head_dim=cfg.head_dim,
+        intermediate_size=cfg.intermediate_size,
+        rms_norm_eps=cfg.rms_norm_eps,
+    )
+
+
+def init_params(
+    key: jax.Array, cfg: PredictorConfig, talker_hidden: int, dtype=jnp.bfloat16
+) -> Params:
+    k = jax.random.split(key, 5)
+    Hp, CB, NC = cfg.hidden_size, cfg.codebook_size, cfg.num_codebooks
+    return {
+        "small_to_mtp": {
+            "w": (jax.random.normal(k[0], (talker_hidden, Hp), jnp.float32)
+                  * (talker_hidden**-0.5)).astype(dtype),
+            "b": jnp.zeros((Hp,), dtype),
+        },
+        "blocks": init_block_stack(k[1], block_spec(cfg), dtype),
+        "final_norm": jnp.ones((Hp,), dtype),
+        # per-codebook LM heads (reference: ModuleList[15], predictor_graph.py:56)
+        "lm_heads": (jax.random.normal(k[2], (NC, Hp, CB), jnp.float32)
+                     * (Hp**-0.5)).astype(dtype),
+        # per-codebook embeddings in *talker* hidden space (generate.py:165 sums
+        # them with the talker codec embedding to build the next talker input)
+        "codec_embeddings": (jax.random.normal(k[3], (NC, CB, talker_hidden), jnp.float32)
+                             * 0.02).astype(dtype),
+    }
+
+
+def _proj(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    p = params["small_to_mtp"]
+    return x @ p["w"] + p["b"]
+
+
+def _rope(cfg: PredictorConfig, pos_1d: jnp.ndarray):
+    return mrope_cos_sin(
+        jnp.broadcast_to(pos_1d[None], (3,) + pos_1d.shape),
+        cfg.head_dim,
+        cfg.rope_theta,
+        None,
+        dtype=jnp.float32,
+    )
+
+
+def predict_frame(
+    params: Params,
+    cfg: PredictorConfig,
+    pred_input: jnp.ndarray,  # [B, 2, H_talker] = cat(past_hidden, token0_embed)
+    key: jax.Array,
+    policy: SamplingPolicy,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Run the full 15-codebook frame.  Returns (tokens [B, 15], embed_sum
+    [B, 1, H_talker]) where embed_sum = Σ_i codec_embeddings[i][tokens_i] —
+    precomputed here so the decode loop can build the next talker input with
+    no extra device round-trips (reference generate.py:163-166)."""
+    B = pred_input.shape[0]
+    spec = block_spec(cfg)
+    S = cfg.max_seq
+    dtype = pred_input.dtype
+
+    kv = init_kv_cache(spec, B, S, dtype)
+    zero_pad = jnp.zeros((B,), jnp.int32)
+
+    # --- prefill: 2 tokens ---
+    h = _proj(params, pred_input)  # [B, 2, Hp]
+    cos, sin = _rope(cfg, jnp.broadcast_to(jnp.arange(2, dtype=jnp.int32)[None], (B, 2)))
+    m = prefill_mask(2, S, zero_pad, cfg.sliding_window)
+    h, kv = stack_forward(params["blocks"], h, cos, sin, kv, jnp.int32(0), m, spec)
+    h = rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
+
+    logits0 = (h[:, -1, :] @ params["lm_heads"][0]).astype(jnp.float32)
+    key, k0 = jax.random.split(key)
+    tok0 = sample_logits(
+        k0,
+        logits0,
+        temperature=policy.temperature,
+        top_k=policy.top_k,
+        top_p=policy.top_p,
+        do_sample=policy.do_sample,
+    )  # [B]
+
+    # --- scan over codebooks 1..14 ---
+    def body(carry, cb):
+        kv_c, tok_prev, key_c = carry
+        key_c, ks = jax.random.split(key_c)
+        # embed previous token with table (cb-1), project to predictor space
+        emb_t = params["codec_embeddings"][cb - 1][tok_prev]  # [B, H_talker]
+        x = _proj(params, emb_t)[:, None, :]  # [B, 1, Hp]
+        pos = jnp.int32(1) + cb  # cache position 2 + (cb-1)
+        cos_d, sin_d = _rope(cfg, jnp.broadcast_to(pos[None, None], (B, 1)))
+        m_d = decode_mask(S, pos, zero_pad, cfg.sliding_window)
+        x, kv_c = stack_forward(params["blocks"], x, cos_d, sin_d, kv_c, pos, m_d, spec)
+        x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+        logits = (x[:, -1, :] @ params["lm_heads"][cb]).astype(jnp.float32)
+        tok = sample_logits(
+            ks,
+            logits,
+            temperature=policy.temperature,
+            top_k=policy.top_k,
+            top_p=policy.top_p,
+            do_sample=policy.do_sample,
+        )
+        return (kv_c, tok, key_c), tok
+
+    (_, _, _), toks_rest = jax.lax.scan(
+        body, (kv, tok0, key), jnp.arange(1, cfg.num_codebooks, dtype=jnp.int32)
+    )  # toks_rest: [14, B]
+
+    tokens = jnp.concatenate([tok0[None], toks_rest], axis=0).T  # [B, 15]
+
+    # embed_sum over the 15 predictor codebooks (talker space).  One-hot +
+    # einsum rides the MXU and fuses the 15 gathers + sum into one contraction.
+    onehot = jax.nn.one_hot(tokens.T, cfg.codebook_size, dtype=dtype)  # [15, B, CB]
+    embed_sum = jnp.einsum(
+        "ibc,ich->bh", onehot, params["codec_embeddings"],
+        preferred_element_type=jnp.float32,
+    ).astype(dtype)[:, None, :]  # [B, 1, Ht]
+    return tokens, embed_sum

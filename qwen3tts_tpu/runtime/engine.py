@@ -1,0 +1,366 @@
+"""Fixed-shape jitted decode runtime — the TPU analog of CUDA-graph capture.
+
+Reference mapping (SURVEY.md §2.3):
+  - ``torch.cuda.CUDAGraph`` capture/replay (talker_graph.py:109-147,
+    predictor_graph.py:169-202)  →  ``jax.jit`` of fixed-shape step functions;
+    one compile replaces one capture, replay = calling the executable.
+  - ``transformers.StaticCache`` in-place updates  →  donated KV pytrees +
+    ``lax.dynamic_update_slice`` (donation makes buffer reuse a hard error
+    instead of a ``.clone()`` convention — talker_graph.py:214).
+  - per-pad-count mask tables (talker_graph.py:71-95,172-196)  →  masks
+    computed in-graph from traced (position, pad_count) scalars.
+  - DynamicCache→StaticCache prefill copy (generate.py:137)  →  gone: bucketed
+    prefill writes straight into the static cache.
+
+Beyond the reference: ``decode_chunk`` runs up to ``chunk_size`` full steps
+(predictor frame + talker step + sampling) inside ONE device program with a
+``lax.while_loop``, so the host syncs once per chunk instead of once per step
+(the reference syncs every step for its EOS check, generate.py:149-150).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import logging
+import time
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import TTSModelConfig
+from ..models import predictor as predictor_lib
+from ..models import talker as talker_lib
+from ..models.predictor import SamplingPolicy
+from ..ops.sampling import apply_repetition_penalty, build_suppress_mask, sample_logits
+
+logger = logging.getLogger(__name__)
+
+# Prefill lengths are padded up to one of these buckets so the number of
+# compiled prefill programs stays ≈ len(PREFILL_BUCKETS) (SURVEY.md §7 item 6).
+PREFILL_BUCKETS = (32, 64, 128, 256, 512, 1024, 2048)
+# Trailing-text buckets (consumed one embed per decode step, generate.py:168).
+TTH_BUCKETS = (16, 64, 256, 1024, 2048)
+
+
+def bucket_for(n: int, buckets=PREFILL_BUCKETS) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    raise ValueError(
+        f"Input is too long: prefill has {n} tokens but max bucket={buckets[-1]}. "
+        "Use shorter text or shorter reference audio."
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class GenerationPolicy:
+    """Static sampling policy for the talker's codebook-0 head.
+
+    Hashable → used as a jit static argument; changing it re-specializes the
+    executable (the reference instead froze the policy into the captured graph,
+    predictor_graph.py:34-50)."""
+
+    temperature: float = 0.9
+    top_k: int = 50
+    top_p: float = 1.0
+    do_sample: bool = True
+    repetition_penalty: float = 1.05
+    min_new_tokens: int = 2
+
+
+class Engine:
+    """Jitted fixed-shape runtime for one (talker, predictor) model instance.
+
+    Holds the static KV cache geometry and the compiled executables; the
+    decode state is an explicit pytree threaded (and donated) through calls.
+    """
+
+    def __init__(
+        self,
+        talker_params,
+        predictor_params,
+        cfg: TTSModelConfig,
+        *,
+        max_seq_len: int = 2048,
+        batch: int = 1,
+    ):
+        self.cfg = cfg
+        self.talker_cfg = cfg.talker
+        self.pred_cfg = cfg.predictor
+        self.talker_params = talker_params
+        self.predictor_params = predictor_params
+        self.max_seq_len = max_seq_len
+        self.batch = batch
+        self.dtype = cfg.jnp_dtype
+        self.eos_id = cfg.talker.codec_eos_token_id
+        self._suppress = jnp.asarray(
+            build_suppress_mask(cfg.talker.vocab_size, self.eos_id)
+        )
+        self._warmed_up = False
+
+        self._prefill_jit = jax.jit(
+            self._prefill_impl, static_argnames=("policy",), donate_argnames=("kv",)
+        )
+        self._step_jit = jax.jit(
+            self._step_impl,
+            static_argnames=("policy", "pred_policy"),
+            donate_argnames=("state",),
+        )
+        self._chunk_jit = jax.jit(
+            self._chunk_impl,
+            static_argnames=("policy", "pred_policy", "chunk_size"),
+            donate_argnames=("state",),
+        )
+
+    # ------------------------------------------------------------------
+    # state
+    # ------------------------------------------------------------------
+
+    def new_kv(self):
+        return talker_lib.new_kv_cache(
+            self.talker_cfg, self.batch, self.max_seq_len, self.dtype
+        )
+
+    # ------------------------------------------------------------------
+    # prefill
+    # ------------------------------------------------------------------
+
+    def _prefill_impl(
+        self,
+        talker_params,
+        embeds: jnp.ndarray,  # [B, Tb, H] left-padded to bucket
+        pad_count: jnp.ndarray,  # [B]
+        kv,
+        key: jax.Array,
+        policy: GenerationPolicy,
+    ):
+        last, logits, kv = talker_lib.prefill(
+            talker_params, self.talker_cfg, embeds, pad_count, kv
+        )
+        key, ks = jax.random.split(key)
+        token = sample_logits(
+            ks,
+            logits,
+            temperature=policy.temperature,
+            top_k=policy.top_k,
+            top_p=policy.top_p,
+            do_sample=policy.do_sample,
+            suppress_mask=self._suppress,
+            suppress_eos=jnp.asarray(policy.min_new_tokens > 0),
+            eos_id=self.eos_id,
+        )
+        state = {
+            "kv": kv,
+            "past_hidden": last,
+            "token": token.astype(jnp.int32),
+            "pos": jnp.int32(embeds.shape[1]),
+            "pad_count": pad_count.astype(jnp.int32),
+            "gen_step": jnp.int32(0),
+            "seen": jnp.zeros((self.talker_cfg.vocab_size,), bool),
+            "n_gen": jnp.int32(0),
+            "key": key,
+        }
+        return state
+
+    def prefill(
+        self,
+        embeds: jnp.ndarray,  # [B, T, H] (unpadded)
+        key: jax.Array,
+        policy: GenerationPolicy,
+        pad_count: Optional[jnp.ndarray] = None,
+        bucketed: bool = True,
+    ) -> Dict:
+        """Left-pad to a bucket, run prefill, sample the first token."""
+        B, T, H = embeds.shape
+        base_pad = (
+            np.zeros((B,), np.int32) if pad_count is None else np.asarray(pad_count)
+        )
+        Tb = bucket_for(T) if bucketed else T
+        if Tb > self.max_seq_len:
+            raise ValueError(f"prefill bucket {Tb} exceeds max_seq_len {self.max_seq_len}")
+        extra = Tb - T
+        if extra:
+            embeds = jnp.concatenate(
+                [jnp.zeros((B, extra, H), embeds.dtype), embeds], axis=1
+            )
+        pad = jnp.asarray(base_pad + extra, jnp.int32)
+        return self._prefill_jit(
+            self.talker_params, embeds, pad, self.new_kv(), key, policy=policy
+        )
+
+    # ------------------------------------------------------------------
+    # one decode step (predictor frame + talker step + sampling, fused)
+    # ------------------------------------------------------------------
+
+    def _one_step(
+        self,
+        talker_params,
+        pred_params,
+        state: Dict,
+        tth: jnp.ndarray,  # [B, Ttth, H] trailing text hiddens (padded w/ tts_pad)
+        tth_len: jnp.ndarray,  # scalar int32 — true length
+        tts_pad_embed: jnp.ndarray,  # [B, 1, H]
+        policy: GenerationPolicy,
+        pred_policy: SamplingPolicy,
+    ) -> Tuple[Dict, jnp.ndarray]:
+        """One full frame step.  Caller guarantees state['token'] != EOS."""
+        tcfg, pcfg = self.talker_cfg, self.pred_cfg
+        token = state["token"]  # [B]
+        key = state["key"]
+
+        # --- predictor: 15 codebooks in-graph (reference generate.py:154-156)
+        tok_embed = talker_lib.embed_codec(talker_params, token)[:, None, :]
+        pred_input = jnp.concatenate([state["past_hidden"], tok_embed], axis=1)
+        key, kp = jax.random.split(key)
+        cb_tokens, cb_embed_sum = predictor_lib.predict_frame(
+            pred_params, pcfg, pred_input, kp, pred_policy
+        )
+        frame = jnp.concatenate([token[:, None], cb_tokens], axis=1)  # [B, 16]
+
+        # --- next talker input = Σ 16 codec embeds + trailing text hidden
+        #     (reference generate.py:163-171)
+        x = tok_embed + cb_embed_sum.astype(tok_embed.dtype)
+        idx = jnp.minimum(state["gen_step"], tth.shape[1] - 1)
+        trailing = jnp.where(
+            state["gen_step"] < tth_len,
+            jax.lax.dynamic_slice_in_dim(tth, idx, 1, axis=1),
+            tts_pad_embed,
+        )
+        x = x + trailing
+
+        # --- talker decode step
+        hidden, kv = talker_lib.decode_step(
+            talker_params, tcfg, x, state["pos"], state["pad_count"], state["kv"]
+        )
+        logits = talker_lib.codec_head(talker_params, hidden[:, 0, :])
+
+        # --- repetition penalty over codebook-0 history incl. current token
+        #     (reference generate.py:184-186)
+        seen = state["seen"].at[token[0]].set(True)
+        logits = apply_repetition_penalty(logits, seen, policy.repetition_penalty)
+
+        key, ks = jax.random.split(key)
+        n_gen = state["n_gen"] + 1
+        next_token = sample_logits(
+            ks,
+            logits,
+            temperature=policy.temperature,
+            top_k=policy.top_k,
+            top_p=policy.top_p,
+            do_sample=policy.do_sample,
+            suppress_mask=self._suppress,
+            suppress_eos=n_gen < policy.min_new_tokens,
+            eos_id=self.eos_id,
+        )
+
+        new_state = {
+            "kv": kv,
+            "past_hidden": hidden,
+            "token": next_token.astype(jnp.int32),
+            "pos": state["pos"] + 1,
+            "pad_count": state["pad_count"],
+            "gen_step": state["gen_step"] + 1,
+            "seen": seen,
+            "n_gen": n_gen,
+            "key": key,
+        }
+        return new_state, frame
+
+    def _step_impl(self, talker_params, pred_params, state, tth, tth_len, tpe,
+                   policy: GenerationPolicy, pred_policy: SamplingPolicy):
+        return self._one_step(
+            talker_params, pred_params, state, tth, tth_len, tpe, policy, pred_policy
+        )
+
+    def decode_step(self, state, tth, tth_len, tpe, policy, pred_policy):
+        """Single fused decode step (parity/debug path)."""
+        return self._step_jit(
+            self.talker_params, self.predictor_params, state, tth,
+            jnp.int32(tth_len), tpe, policy=policy, pred_policy=pred_policy,
+        )
+
+    # ------------------------------------------------------------------
+    # chunked decode: up to chunk_size steps per device program
+    # ------------------------------------------------------------------
+
+    def _chunk_impl(
+        self,
+        talker_params,
+        pred_params,
+        state,
+        tth,
+        tth_len,
+        tpe,
+        policy: GenerationPolicy,
+        pred_policy: SamplingPolicy,
+        chunk_size: int,
+    ):
+        B = self.batch
+        frames0 = jnp.zeros((B, chunk_size, 16), jnp.int32)
+        limit = jnp.int32(self.max_seq_len - 1)
+
+        def cond(carry):
+            st, _, n = carry
+            return (
+                (n < chunk_size)
+                & (st["token"][0] != self.eos_id)
+                & (st["pos"] < limit)
+            )
+
+        def body(carry):
+            st, frames, n = carry
+            st, frame = self._one_step(
+                talker_params, pred_params, st, tth, tth_len, tpe, policy, pred_policy
+            )
+            frames = jax.lax.dynamic_update_slice(frames, frame[:, None, :], (0, n, 0))
+            return st, frames, n + 1
+
+        state, frames, n = jax.lax.while_loop(cond, body, (state, frames0, jnp.int32(0)))
+        done = (state["token"][0] == self.eos_id) | (state["pos"] >= limit)
+        return state, frames, n, done
+
+    def decode_chunk(self, state, tth, tth_len, tpe, policy, pred_policy, chunk_size):
+        """Run up to chunk_size fused steps in one device program.
+        Returns (state, frames [B,chunk,16], n_valid, done) — one host sync."""
+        return self._chunk_jit(
+            self.talker_params, self.predictor_params, state, tth,
+            jnp.int32(tth_len), tpe,
+            policy=policy, pred_policy=pred_policy, chunk_size=chunk_size,
+        )
+
+    # ------------------------------------------------------------------
+    # warmup — AOT compile at fixed shapes (reference model.py:154-163)
+    # ------------------------------------------------------------------
+
+    def warmup(
+        self,
+        prefill_len: int,
+        tth_len: int,
+        policy: GenerationPolicy,
+        pred_policy: SamplingPolicy,
+        chunk_sizes=(8,),
+    ) -> float:
+        """Compile the prefill bucket + chunk executables.  Returns seconds."""
+        t0 = time.time()
+        B, H = self.batch, self.talker_cfg.hidden_size
+        Tb = bucket_for(prefill_len)
+        Tt = bucket_for(max(tth_len, 1), TTH_BUCKETS)
+        embeds = jnp.zeros((B, Tb, H), self.dtype)
+        tth = jnp.zeros((B, Tt, H), self.dtype)
+        tpe = jnp.zeros((B, 1, H), self.dtype)
+        key = jax.random.PRNGKey(0)
+        state = self._prefill_jit(
+            self.talker_params, embeds, jnp.zeros((B,), jnp.int32), self.new_kv(),
+            key, policy=policy,
+        )
+        for cs in chunk_sizes:
+            state, frames, n, done = self.decode_chunk(
+                state, tth, 0, tpe, policy, pred_policy, cs
+            )
+        jax.block_until_ready(state)
+        self._warmed_up = True
+        dt = time.time() - t0
+        logger.info("engine warmup (prefill bucket %d, chunks %s): %.1fs", Tb, chunk_sizes, dt)
+        return dt
