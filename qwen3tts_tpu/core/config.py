@@ -116,6 +116,11 @@ class TalkerConfig:
         }
     )
 
+    def __hash__(self):
+        # dict fields break the dataclass-generated hash; configs are used as
+        # jit static arguments, so hash a stable repr instead.
+        return hash(repr(self))
+
     @property
     def num_kv_groups(self) -> int:
         return self.num_attention_heads // self.num_key_value_heads

@@ -138,7 +138,9 @@ def block_forward(
     v = (h @ p["v_proj"]).reshape(B, Tq, spec.num_kv_heads, spec.head_dim)
     q = rms_norm(q, p["q_norm"], eps)
     k = rms_norm(k, p["k_norm"], eps)
-    q, k = apply_rope(q, k, cos, sin)
+    q, k = apply_rope(q, k, cos, sin)  # rope in f32 for precision...
+    q = q.astype(x.dtype)
+    k = k.astype(x.dtype)  # ...but K/V are cached in the model dtype
 
     k_cache = jax.lax.dynamic_update_slice(k_cache, k, (0, write_pos, 0, 0))
     v_cache = jax.lax.dynamic_update_slice(v_cache, v, (0, write_pos, 0, 0))

@@ -70,6 +70,10 @@ def sample_logits(
         return jnp.argmax(logits, axis=-1)
 
     logits = logits / temperature
+    # Fusing the constant suppress mask into TopK/Sort comparators triggers a
+    # pathological XLA compile blowup (~20x measured); the barrier keeps the
+    # masked logits materialized before the selection ops.
+    logits = jax.lax.optimization_barrier(logits)
 
     if top_k > 0 and top_k < V:
         kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
