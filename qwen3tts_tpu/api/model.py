@@ -1,0 +1,509 @@
+"""FasterQwen3TTS — the public API class (TPU-native).
+
+API-compatible with the reference wrapper (model.py:22-1166): same method
+names, signatures, defaults and semantics; the implementation underneath is
+the JAX engine (runtime/engine.py), the jitted codec vocoder
+(audio/vocoder.py) and the first-party model stack.
+
+Key differences (all TPU-native design, documented per method):
+  - "CUDA graph capture" → jit warmup (first generation compiles the prefill
+    bucket + decode-chunk executables, mirroring the deferred capture at
+    model.py:280-281);
+  - no DynamicCache→StaticCache copies, no mask tables;
+  - codec frames are exactly ``sample_rate/frame_rate`` samples, so ICL
+    trimming and streaming-window math are exact instead of calibrated.
+"""
+from __future__ import annotations
+
+import logging
+import time
+from pathlib import Path
+from typing import Dict, Generator, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..audio.vocoder import Vocoder
+from ..audio.wav import read_wav, resample
+from ..core.config import TTSModelConfig
+from ..core.loader import load_pretrained
+from ..models import speaker as speaker_lib
+from ..models import talker as talker_lib
+from ..models.predictor import SamplingPolicy
+from ..runtime import loops
+from ..runtime.engine import Engine, GenerationPolicy
+from .prompt import build_talker_inputs
+from .tokenizer import TextTokenizer
+
+logger = logging.getLogger(__name__)
+
+
+def _infer_sample_rate(codec_cfg, model_cfg) -> int:
+    """Sample-rate inference chain (reference model.py:49-69):
+    speech-tokenizer rate → model-level rate → 24000 default."""
+    sr = getattr(codec_cfg, "sample_rate", None)
+    if sr is None:
+        sr = getattr(model_cfg, "sample_rate", None)
+    if sr is None:
+        logger.warning("Could not infer sample rate; defaulting to 24000 Hz.")
+        return 24_000
+    return int(sr)
+
+
+class FasterQwen3TTS:
+    """Qwen3-TTS with jitted fixed-shape decode for real-time TPU inference."""
+
+    def __init__(
+        self,
+        cfg: TTSModelConfig,
+        params: Dict,
+        *,
+        max_seq_len: int = 2048,
+        seed: int = 0,
+    ):
+        self.cfg = cfg
+        self.params = params
+        self.max_seq_len = max_seq_len
+        self.dtype = cfg.jnp_dtype
+        self.engine = Engine(
+            params["talker"], params["predictor"], cfg, max_seq_len=max_seq_len
+        )
+        self.vocoder = Vocoder(params["codec"], cfg.codec)
+        self.tokenizer = TextTokenizer(vocab_size=cfg.talker.text_vocab_size)
+        self.sample_rate = _infer_sample_rate(cfg.codec, cfg)
+        self._voice_prompt_cache: Dict = {}
+        self._warmed_up = False
+        self._rng = jax.random.PRNGKey(seed)
+        self.tts_model_type = cfg.model_type
+        self.tts_model_size = cfg.model_size
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_pretrained(
+        cls,
+        model_name: str,
+        device: Optional[str] = None,
+        dtype: Union[str, jnp.dtype, None] = None,
+        max_seq_len: int = 2048,
+        seed: int = 0,
+    ) -> "FasterQwen3TTS":
+        """Load weights ('random:<preset>' or checkpoint dir) and build the
+        runtime.  Compilation is deferred to the first generation (reference
+        defers CUDA-graph capture the same way, model.py:143,280-281)."""
+        if isinstance(dtype, str):
+            dtype = {"bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
+                     "float32": jnp.float32, "fp32": jnp.float32,
+                     "float16": jnp.float16, "fp16": jnp.float16}[dtype]
+        cfg, params = load_pretrained(model_name, dtype=dtype, seed=seed)
+        logger.info("Loaded %s (%s, %s)", model_name, cfg.model_type, cfg.dtype)
+        return cls(cfg, params, max_seq_len=max_seq_len, seed=seed)
+
+    # ------------------------------------------------------------------
+    def _next_key(self) -> jax.Array:
+        self._rng, k = jax.random.split(self._rng)
+        return k
+
+    def _warmup(self, prefill_len: int, tth_len: int, policy, pred_policy,
+                chunk_sizes=(8, 16)):
+        if self._warmed_up:
+            return
+        logger.info("Compiling jitted decode executables (one-time)...")
+        self.engine.warmup(prefill_len, tth_len, policy, pred_policy, chunk_sizes)
+        self._warmed_up = True
+
+    # ------------------------------------------------------------------
+    # voice-clone prompt construction
+    # ------------------------------------------------------------------
+
+    def _load_ref_audio_with_silence(
+        self, ref_audio: Union[str, Path], silence_secs: float = 0.5
+    ) -> Tuple[np.ndarray, int]:
+        """Load ref audio mono + append trailing silence so the ICL prompt
+        ends on silence, not mid-phoneme (reference model.py:185-200)."""
+        audio, sr = read_wav(ref_audio)
+        if silence_secs > 0:
+            audio = np.concatenate([audio, np.zeros(int(silence_secs * sr), np.float32)])
+        return audio, sr
+
+    def extract_speaker_embedding(self, ref_audio: Union[str, Path, np.ndarray],
+                                  sr: Optional[int] = None) -> np.ndarray:
+        """x-vector from reference audio (reference examples/extract_speaker.py)."""
+        if isinstance(ref_audio, (str, Path)):
+            audio, sr = read_wav(ref_audio)
+        else:
+            audio = np.asarray(ref_audio, np.float32)
+            assert sr is not None, "sr required with raw audio"
+        target = self.cfg.speaker_encoder.sample_rate
+        audio16 = resample(audio, sr, target)
+        emb = speaker_lib.embed(self.params["speaker"], self.cfg.speaker_encoder,
+                                jnp.asarray(audio16))
+        return np.asarray(emb)
+
+    def create_voice_clone_prompt(
+        self,
+        ref_audio: Union[str, Path, Tuple[np.ndarray, int]],
+        ref_text: str = "",
+        x_vector_only_mode: bool = False,
+    ) -> Dict:
+        """Returns {'ref_spk_embedding', 'ref_code', 'x_vector_only_mode',
+        'icl_mode'} (reference upstream surface, SURVEY.md §2.2)."""
+        if isinstance(ref_audio, tuple):
+            audio, sr = ref_audio
+        else:
+            audio, sr = read_wav(ref_audio)
+        xvec = self.extract_speaker_embedding(audio, sr)
+        out = {
+            "ref_spk_embedding": xvec,
+            "ref_code": None,
+            "x_vector_only_mode": x_vector_only_mode,
+            "icl_mode": not x_vector_only_mode,
+            "ref_text": ref_text,
+        }
+        if not x_vector_only_mode:
+            audio24 = resample(audio, sr, self.cfg.codec.sample_rate)
+            out["ref_code"] = self.vocoder.encode(audio24)  # [Tr, 16]
+        return out
+
+    def _voice_prompt(self, ref_audio, ref_text, xvec_only, append_silence):
+        key = (str(ref_audio), ref_text, xvec_only, append_silence)
+        if key in self._voice_prompt_cache:
+            return self._voice_prompt_cache[key]
+        if xvec_only:
+            vcp = self.create_voice_clone_prompt(ref_audio, "", x_vector_only_mode=True)
+        else:
+            silence = 0.5 if append_silence else 0.0
+            audio, sr = self._load_ref_audio_with_silence(ref_audio, silence)
+            vcp = self.create_voice_clone_prompt((audio, sr), ref_text)
+        self._voice_prompt_cache[key] = vcp
+        return vcp
+
+    # ------------------------------------------------------------------
+    # prompt prep
+    # ------------------------------------------------------------------
+
+    def _prepare_clone(self, text, ref_audio, ref_text, language, xvec_only,
+                       non_streaming_mode, append_silence, instruct):
+        input_ids = self.tokenizer.build_assistant_ids(text)
+        instruct_ids = self.tokenizer.build_instruct_ids(instruct) if instruct else None
+        vcp = self._voice_prompt(ref_audio, ref_text, xvec_only, append_silence)
+        spk = talker_lib.project_speaker(
+            self.params["talker"],
+            jnp.asarray(vcp["ref_spk_embedding"], self.dtype),
+        )
+        ref_ids = None
+        if vcp["icl_mode"] and vcp.get("ref_text"):
+            ref_ids = self.tokenizer.build_ref_ids(vcp["ref_text"])
+        embeds, trailing, tpe = build_talker_inputs(
+            self.params["talker"], self.params["predictor"], self.cfg,
+            input_ids=input_ids,
+            ref_ids=ref_ids,
+            spk_embedding=spk,
+            ref_codes=vcp["ref_code"],
+            icl_mode=vcp["icl_mode"] and vcp["ref_code"] is not None and ref_ids is not None,
+            language=language,
+            non_streaming_mode=non_streaming_mode,
+            instruct_ids=instruct_ids,
+        )
+        ref_codes = vcp["ref_code"] if not xvec_only else None
+        return embeds, trailing, tpe, ref_codes
+
+    def _prepare_custom(self, text, language, speaker, instruct):
+        input_ids = self.tokenizer.build_assistant_ids(text)
+        instruct_ids = self.tokenizer.build_instruct_ids(instruct) if instruct else None
+        embeds, trailing, tpe = build_talker_inputs(
+            self.params["talker"], self.params["predictor"], self.cfg,
+            input_ids=input_ids,
+            language=language,
+            speaker=speaker,
+            non_streaming_mode=False,
+            instruct_ids=instruct_ids,
+        )
+        return embeds, trailing, tpe
+
+    # ------------------------------------------------------------------
+    # generation: voice clone
+    # ------------------------------------------------------------------
+
+    def generate(self, *a, **k):
+        raise NotImplementedError(
+            "Default voice generation not yet implemented. "
+            "Use generate_voice_clone() with reference audio."
+        )
+
+    def _policies(self, temperature, top_k, top_p, do_sample, repetition_penalty,
+                  min_new_tokens):
+        pol = GenerationPolicy(
+            temperature=temperature, top_k=top_k, top_p=top_p, do_sample=do_sample,
+            repetition_penalty=repetition_penalty, min_new_tokens=min_new_tokens,
+        )
+        # predictor defaults mirror the reference ctor (model.py:124-133)
+        ppol = SamplingPolicy(do_sample=do_sample, top_k=50, top_p=1.0, temperature=0.9)
+        return pol, ppol
+
+    def _finish_audio(self, codec_ids: Optional[np.ndarray], ref_codes, timing):
+        if codec_ids is None:
+            logger.warning("Generation returned no tokens")
+            return [np.zeros(1, np.float32)], self.sample_rate
+        if ref_codes is not None and len(ref_codes):
+            codes = np.concatenate([np.asarray(ref_codes), codec_ids], axis=0)
+            wav = self.vocoder.decode(codes)
+            wav = wav[len(ref_codes) * self.vocoder.spf :]  # exact trim
+        else:
+            wav = self.vocoder.decode(codec_ids)
+        n_steps = timing["steps"]
+        dur = n_steps / self.cfg.codec.frame_rate
+        total = timing["prefill_ms"] / 1000 + timing["decode_s"]
+        rtf = dur / total if total > 0 else 0.0
+        logger.info(
+            "Generated %.2fs audio in %.2fs (%.1fms/step, RTF: %.2f)",
+            dur, total, timing["ms_per_step"], rtf,
+        )
+        return [wav], self.sample_rate
+
+    def generate_voice_clone(
+        self,
+        text: str,
+        language: str,
+        ref_audio: Union[str, Path],
+        ref_text: str,
+        max_new_tokens: int = 2048,
+        min_new_tokens: int = 2,
+        temperature: float = 0.9,
+        top_k: int = 50,
+        top_p: float = 1.0,
+        do_sample: bool = True,
+        repetition_penalty: float = 1.05,
+        xvec_only: bool = True,
+        non_streaming_mode: bool = True,
+        append_silence: bool = True,
+        instruct: Optional[str] = None,
+        parity_mode: bool = False,
+    ) -> Tuple[list, int]:
+        """Voice-cloned speech (reference model.py:555-668)."""
+        embeds, trailing, tpe, ref_codes = self._prepare_clone(
+            text, ref_audio, ref_text, language, xvec_only, non_streaming_mode,
+            append_silence, instruct,
+        )
+        pol, ppol = self._policies(temperature, top_k, top_p, do_sample,
+                                   repetition_penalty, min_new_tokens)
+        if not parity_mode:
+            self._warmup(embeds.shape[1], trailing.shape[1], pol, ppol)
+        gen = loops.parity_generate if parity_mode else loops.fast_generate
+        codec_ids, timing = gen(
+            self.engine, embeds, trailing, tpe,
+            key=self._next_key(), max_new_tokens=max_new_tokens,
+            policy=pol, pred_policy=ppol,
+        )
+        return self._finish_audio(codec_ids, ref_codes, timing)
+
+    def generate_voice_clone_streaming(
+        self,
+        text: str,
+        language: str,
+        ref_audio: Union[str, Path],
+        ref_text: str,
+        max_new_tokens: int = 2048,
+        min_new_tokens: int = 2,
+        temperature: float = 0.9,
+        top_k: int = 50,
+        top_p: float = 1.0,
+        do_sample: bool = True,
+        repetition_penalty: float = 1.05,
+        chunk_size: int = 12,
+        xvec_only: bool = True,
+        non_streaming_mode: bool = True,
+        append_silence: bool = True,
+        parity_mode: bool = False,
+        instruct: Optional[str] = None,
+    ) -> Generator[Tuple[np.ndarray, int, dict], None, None]:
+        """Streaming voice clone: yields (audio_chunk, sr, timing) every
+        ``chunk_size`` codec steps (reference model.py:670-826)."""
+        embeds, trailing, tpe, ref_codes = self._prepare_clone(
+            text, ref_audio, ref_text, language, xvec_only, non_streaming_mode,
+            append_silence, instruct,
+        )
+        pol, ppol = self._policies(temperature, top_k, top_p, do_sample,
+                                   repetition_penalty, min_new_tokens)
+        if not parity_mode:
+            self._warmup(embeds.shape[1], trailing.shape[1], pol, ppol,
+                         chunk_sizes=(chunk_size,))
+        yield from self._stream_audio(
+            embeds, trailing, tpe, ref_codes, pol, ppol, max_new_tokens,
+            chunk_size, parity_mode,
+        )
+
+    def _stream_audio(self, embeds, trailing, tpe, ref_codes, pol, ppol,
+                      max_new_tokens, chunk_size, parity_mode=False):
+        sd = self.vocoder.stream_decoder(chunk_size)
+        if ref_codes is not None and len(ref_codes):
+            sd.feed(np.asarray(ref_codes))  # prime acoustic context, discard audio
+        if parity_mode:
+            codes_iter = self._parity_stream(embeds, trailing, tpe, pol, ppol,
+                                             max_new_tokens, chunk_size)
+        else:
+            codes_iter = loops.fast_generate_streaming(
+                self.engine, embeds, trailing, tpe, key=self._next_key(),
+                max_new_tokens=max_new_tokens, policy=pol, pred_policy=ppol,
+                chunk_size=chunk_size,
+            )
+        for codec_chunk, timing in codes_iter:
+            audio = sd.feed(codec_chunk)
+            yield audio, self.sample_rate, timing
+
+    def _parity_stream(self, embeds, trailing, tpe, pol, ppol, max_new_tokens,
+                       chunk_size):
+        """Chunked wrapper over the parity path (reference
+        parity_generate_streaming, streaming.py:192-359)."""
+        ids, timing = loops.parity_generate(
+            self.engine, embeds, trailing, tpe, key=self._next_key(),
+            max_new_tokens=max_new_tokens, policy=pol, pred_policy=ppol,
+        )
+        if ids is None:
+            return
+        total = ids.shape[0]
+        for ci, start in enumerate(range(0, total, chunk_size)):
+            chunk = ids[start : start + chunk_size]
+            yield chunk, {
+                "chunk_index": ci,
+                "chunk_steps": chunk.shape[0],
+                "prefill_ms": timing["prefill_ms"] if ci == 0 else 0,
+                "decode_ms": timing["decode_s"] * 1000 * chunk.shape[0] / total,
+                "total_steps_so_far": min(start + chunk_size, total),
+                "is_final": start + chunk_size >= total,
+            }
+
+    # ------------------------------------------------------------------
+    # custom voice / voice design
+    # ------------------------------------------------------------------
+
+    def _validate_languages(self, languages):
+        for lg in languages:
+            if lg and lg.lower() != "auto" and lg.lower() not in self.cfg.talker.codec_language_id:
+                raise NotImplementedError(f"Language {lg} not implemented")
+
+    def _validate_speakers(self, speakers):
+        for sp in speakers:
+            if sp and sp.lower() not in self.cfg.talker.spk_id:
+                raise NotImplementedError(f"Speaker {sp} not implemented")
+
+    def generate_custom_voice(
+        self,
+        text: str,
+        speaker: str,
+        language: str,
+        instruct: Optional[str] = None,
+        max_new_tokens: int = 2048,
+        min_new_tokens: int = 2,
+        temperature: float = 0.9,
+        top_k: int = 50,
+        top_p: float = 1.0,
+        do_sample: bool = True,
+        repetition_penalty: float = 1.05,
+    ) -> Tuple[list, int]:
+        """Predefined-speaker synthesis (reference model.py:828-903)."""
+        if self.tts_model_type != "custom_voice":
+            raise ValueError("Loaded model does not support custom voice generation")
+        self._validate_languages([language])
+        self._validate_speakers([speaker])
+        if self.tts_model_size in "0b6":  # 0.6B drops instruct (model.py:849-850)
+            instruct = None
+        embeds, trailing, tpe = self._prepare_custom(text, language, speaker, instruct)
+        pol, ppol = self._policies(temperature, top_k, top_p, do_sample,
+                                   repetition_penalty, min_new_tokens)
+        self._warmup(embeds.shape[1], trailing.shape[1], pol, ppol)
+        codec_ids, timing = loops.fast_generate(
+            self.engine, embeds, trailing, tpe, key=self._next_key(),
+            max_new_tokens=max_new_tokens, policy=pol, pred_policy=ppol,
+        )
+        return self._finish_audio(codec_ids, None, timing)
+
+    def generate_custom_voice_streaming(
+        self,
+        text: str,
+        speaker: str,
+        language: str,
+        instruct: Optional[str] = None,
+        max_new_tokens: int = 2048,
+        min_new_tokens: int = 2,
+        temperature: float = 0.9,
+        top_k: int = 50,
+        top_p: float = 1.0,
+        do_sample: bool = True,
+        repetition_penalty: float = 1.05,
+        chunk_size: int = 12,
+    ) -> Generator[Tuple[np.ndarray, int, dict], None, None]:
+        if self.tts_model_type != "custom_voice":
+            raise ValueError("Loaded model does not support custom voice generation")
+        self._validate_languages([language])
+        self._validate_speakers([speaker])
+        if self.tts_model_size in "0b6":
+            instruct = None
+        embeds, trailing, tpe = self._prepare_custom(text, language, speaker, instruct)
+        pol, ppol = self._policies(temperature, top_k, top_p, do_sample,
+                                   repetition_penalty, min_new_tokens)
+        self._warmup(embeds.shape[1], trailing.shape[1], pol, ppol,
+                     chunk_sizes=(chunk_size,))
+        yield from self._stream_audio(embeds, trailing, tpe, None, pol, ppol,
+                                      max_new_tokens, chunk_size)
+
+    def generate_voice_design(
+        self,
+        text: str,
+        instruct: str,
+        language: str,
+        max_new_tokens: int = 2048,
+        min_new_tokens: int = 2,
+        temperature: float = 0.9,
+        top_k: int = 50,
+        top_p: float = 1.0,
+        do_sample: bool = True,
+        repetition_penalty: float = 1.05,
+    ) -> Tuple[list, int]:
+        """Instruction-conditioned voice design (reference model.py:1003-1073)."""
+        if self.tts_model_type != "voice_design":
+            raise ValueError("Loaded model does not support voice design generation")
+        self._validate_languages([language])
+        embeds, trailing, tpe = self._prepare_custom(text, language, None, instruct)
+        pol, ppol = self._policies(temperature, top_k, top_p, do_sample,
+                                   repetition_penalty, min_new_tokens)
+        self._warmup(embeds.shape[1], trailing.shape[1], pol, ppol)
+        codec_ids, timing = loops.fast_generate(
+            self.engine, embeds, trailing, tpe, key=self._next_key(),
+            max_new_tokens=max_new_tokens, policy=pol, pred_policy=ppol,
+        )
+        return self._finish_audio(codec_ids, None, timing)
+
+    def generate_voice_design_streaming(
+        self,
+        text: str,
+        instruct: str,
+        language: str,
+        max_new_tokens: int = 2048,
+        min_new_tokens: int = 2,
+        temperature: float = 0.9,
+        top_k: int = 50,
+        top_p: float = 1.0,
+        do_sample: bool = True,
+        repetition_penalty: float = 1.05,
+        chunk_size: int = 12,
+    ) -> Generator[Tuple[np.ndarray, int, dict], None, None]:
+        if self.tts_model_type != "voice_design":
+            raise ValueError("Loaded model does not support voice design generation")
+        self._validate_languages([language])
+        embeds, trailing, tpe = self._prepare_custom(text, language, None, instruct)
+        pol, ppol = self._policies(temperature, top_k, top_p, do_sample,
+                                   repetition_penalty, min_new_tokens)
+        self._warmup(embeds.shape[1], trailing.shape[1], pol, ppol,
+                     chunk_sizes=(chunk_size,))
+        yield from self._stream_audio(embeds, trailing, tpe, None, pol, ppol,
+                                      max_new_tokens, chunk_size)
+
+    # ------------------------------------------------------------------
+    # persistence helpers
+    # ------------------------------------------------------------------
+
+    def save_pretrained(self, path: Union[str, Path]) -> None:
+        from ..core.loader import save_checkpoint
+
+        save_checkpoint(path, self.cfg, self.params)

@@ -1,0 +1,124 @@
+"""Chunked streaming vocoder decode with sliding-window left context.
+
+Reference behavior (model.py:737-826): phase-1 accumulated decode until
+≥ max(25, chunk_size) frames to calibrate ``samples_per_frame``, then phase-2
+sliding window with 25-frame left context, trimming context samples.
+
+TPU-native simplification: our codec is strictly causal and emits exactly
+``total_upsample`` samples per frame, so no calibration is needed and the
+sliding window runs as ONE fixed-shape jitted executable: windows shorter
+than ``context+chunk`` are left-padded and masked via ``pad_count``, which the
+codec treats exactly like an absent prefix (verified bit-stable).  Distinct
+compile count: one per (window bucket), not per length.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import CodecConfig
+from ..models import codec as codec_lib
+
+FULL_BUCKETS = (32, 64, 128, 256, 512, 1024, 2048, 4096)
+
+
+def _bucket(n: int, buckets=FULL_BUCKETS) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return int(np.ceil(n / buckets[-1])) * buckets[-1]
+
+
+class Vocoder:
+    """Jitted codec decode/encode with shape bucketing."""
+
+    def __init__(self, params: Dict, cfg: CodecConfig, context_frames: int = 25):
+        self.params = params
+        self.cfg = cfg
+        self.context_frames = context_frames
+        self.spf = cfg.total_upsample  # samples per frame — exact
+        self._decode_jit = jax.jit(
+            functools.partial(codec_lib.decode, cfg=cfg)
+        )
+        self._encode_jit = jax.jit(functools.partial(codec_lib.encode, cfg=cfg))
+
+    # -- full (bucketed) decode, non-streaming ---------------------------
+    def decode(self, codes: np.ndarray) -> np.ndarray:
+        """codes [T, 16] → waveform [T*spf] float32."""
+        T = codes.shape[0]
+        Tb = _bucket(T)
+        pad = Tb - T
+        c = np.zeros((1, Tb, self.cfg.num_quantizers), np.int32)
+        c[0, pad:] = codes
+        wav = self._decode_jit(
+            self.params, codes=jnp.asarray(c), pad_count=jnp.array([pad], jnp.int32)
+        )
+        return np.asarray(wav[0, pad * self.spf :])
+
+    # -- streaming ------------------------------------------------------
+    def stream_decoder(self, chunk_size: int) -> "StreamDecoder":
+        return StreamDecoder(self, chunk_size)
+
+    # -- encode ---------------------------------------------------------
+    def encode(self, wav: np.ndarray) -> np.ndarray:
+        """waveform [N] @ cfg.sample_rate → codes [T, 16].
+
+        Bucketed on frame count; the trailing partial frame is dropped (codec
+        frames are exact ``total_upsample``-sample units)."""
+        T = len(wav) // self.spf
+        if T == 0:
+            return np.zeros((0, self.cfg.num_quantizers), np.int32)
+        Tb = _bucket(T)
+        buf = np.zeros((1, Tb * self.spf), np.float32)
+        # right-pad: encoder is causal so frames [0,T) are unaffected
+        buf[0, : T * self.spf] = wav[: T * self.spf]
+        codes = self._encode_jit(self.params, wav=jnp.asarray(buf))
+        return np.asarray(codes[0, :T])
+
+
+class StreamDecoder:
+    """Stateful per-generation streaming decoder (one fixed-shape executable).
+
+    Mirrors the reference's hybrid decode (model.py:769-826) but exact:
+    every call decodes a ``context+chunk`` window (left-padded + masked when
+    not enough history) and returns only the new samples.
+    """
+
+    def __init__(self, vocoder: Vocoder, chunk_size: int):
+        self.v = vocoder
+        self.window = vocoder.context_frames + chunk_size
+        self.history: List[np.ndarray] = []  # all frames so far [n,16]
+        self.n_emitted_frames = 0
+
+    def feed(self, new_codes: np.ndarray) -> np.ndarray:
+        """new_codes [n,16] → new audio samples [n*spf] float32."""
+        n_new = new_codes.shape[0]
+        if n_new == 0:
+            return np.zeros((0,), np.float32)
+        self.history.append(np.asarray(new_codes, np.int32))
+        all_codes = np.concatenate(self.history, axis=0)
+        total = all_codes.shape[0]
+
+        W = self.window
+        if n_new > W:  # a single huge chunk: decode it fully (bucketed path)
+            wav = self.v.decode(all_codes)
+            out = wav[self.n_emitted_frames * self.v.spf :]
+            self.n_emitted_frames = total
+            return out
+
+        win = all_codes[max(0, total - W) :]
+        n_ctx = win.shape[0] - n_new
+        pad = W - win.shape[0]
+        buf = np.zeros((1, W, self.v.cfg.num_quantizers), np.int32)
+        if win.shape[0]:
+            buf[0, pad:] = win
+        wav = self.v._decode_jit(
+            self.v.params, codes=jnp.asarray(buf), pad_count=jnp.array([pad], jnp.int32)
+        )
+        out = np.asarray(wav[0, (pad + n_ctx) * self.v.spf :])
+        self.n_emitted_frames = total
+        return out

@@ -56,6 +56,9 @@ class TalkerConfig:
     # into the talker's hidden space (reference model.py:353, 395-403).
     text_vocab_size: int = 151_936
     text_hidden_size: int = 1024
+    # x-vector dimension accepted by the speaker projection
+    # (reference artifact: 2048-dim bf16, README.md:411)
+    speaker_embed_dim: int = 2048
     # Sliding-window attention: layer_types[i] in {"full_attention",
     # "sliding_attention"}; None => all full.
     sliding_window: Optional[int] = None

@@ -64,6 +64,7 @@ def _tiny_talker() -> TalkerConfig:
         vocab_size=3072,
         text_vocab_size=512,
         text_hidden_size=64,
+        speaker_embed_dim=64,
     )
 
 

@@ -72,6 +72,13 @@ def init_params(key: jax.Array, cfg: TalkerConfig, dtype=jnp.bfloat16) -> Params
         "blocks": init_block_stack(k[3], block_spec(cfg), dtype),
         "final_norm": jnp.ones((H,), dtype),
         "codec_head": (jax.random.normal(k[4], (H, V), jnp.float32) * (H**-0.5)).astype(dtype),
+        # maps the speaker-encoder x-vector into talker hidden space (the
+        # upstream equivalent is generate_speaker_prompt, model.py:347)
+        "spk_proj": {
+            "w": (jax.random.normal(k[5], (cfg.speaker_embed_dim, H), jnp.float32)
+                  * (cfg.speaker_embed_dim**-0.5)).astype(dtype),
+            "b": jnp.zeros((H,), dtype),
+        },
     }
 
 
@@ -96,6 +103,12 @@ def embed_text(params: Params, ids: jnp.ndarray) -> jnp.ndarray:
 
 def codec_head(params: Params, hidden: jnp.ndarray) -> jnp.ndarray:
     return (hidden @ params["codec_head"]).astype(jnp.float32)
+
+
+def project_speaker(params: Params, xvector: jnp.ndarray) -> jnp.ndarray:
+    """x-vector [E] → talker-space speaker embedding [H]."""
+    p = params["spk_proj"]
+    return xvector @ p["w"] + p["b"]
 
 
 # ---------------------------------------------------------------------------
