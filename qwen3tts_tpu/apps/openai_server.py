@@ -1,0 +1,208 @@
+"""OpenAI-compatible TTS server: POST /v1/audio/speech + GET /health.
+
+Mirrors the reference server contract (examples/openai_server.py): an OpenAI
+``/v1/audio/speech`` endpoint, a voice registry from ``voices.json`` or a
+single ``--ref-audio`` default voice, streamed ``wav``/``pcm`` output with an
+unknown-length WAV header (openai_server.py:96-112), and a lock serializing
+generation (openai_server.py:71,181).
+
+Implementation note: FastAPI/uvicorn are not available in this image, so the
+server is built on stdlib ``ThreadingHTTPServer`` with hand-rolled chunked
+transfer encoding — no dependencies, same wire behavior.  ``mp3`` returns
+HTTP 501 (pydub unavailable) with a clear message.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..audio.wav import to_pcm16, wav_header
+
+logger = logging.getLogger("qwen3tts_tpu.openai_server")
+
+MAX_INPUT_CHARS = 4096
+
+
+class VoiceRegistry:
+    """name → {ref_audio, ref_text}; falls back to the default voice
+    (reference resolve_voice, openai_server.py:146-163)."""
+
+    def __init__(self, voices: Dict[str, Dict[str, str]], default: Optional[str]):
+        self.voices = voices
+        self.default = default or (next(iter(voices)) if voices else None)
+
+    @classmethod
+    def from_args(cls, voices_json: Optional[str], ref_audio: Optional[str],
+                  ref_text: str) -> "VoiceRegistry":
+        if voices_json:
+            raw = json.loads(Path(voices_json).read_text())
+            voices = raw.get("voices", raw)
+            return cls(voices, raw.get("default"))
+        if ref_audio:
+            return cls({"default": {"ref_audio": ref_audio, "ref_text": ref_text}},
+                       "default")
+        return cls({}, None)
+
+    def resolve(self, name: Optional[str]) -> Optional[Dict[str, str]]:
+        if name and name in self.voices:
+            return self.voices[name]
+        if self.default:
+            return self.voices.get(self.default)
+        return None
+
+
+class TTSState:
+    """Shared model + lock (one TPU ⇒ requests serialize, like the
+    reference's threading.Lock)."""
+
+    def __init__(self, model, registry: VoiceRegistry, chunk_size: int = 8):
+        self.model = model
+        self.registry = registry
+        self.lock = threading.Lock()
+        self.chunk_size = chunk_size
+
+
+def make_handler(state: TTSState):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):
+            logger.info("%s " + fmt, self.address_string(), *args)
+
+        def _json_error(self, code: int, message: str):
+            body = json.dumps({"error": {"message": message}}).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        # ---- chunked transfer helpers ----
+        def _start_chunked(self, content_type: str):
+            self.send_response(200)
+            self.send_header("Content-Type", content_type)
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+        def _write_chunk(self, data: bytes):
+            if not data:
+                return
+            self.wfile.write(f"{len(data):X}\r\n".encode() + data + b"\r\n")
+
+        def _end_chunked(self):
+            self.wfile.write(b"0\r\n\r\n")
+
+        # ---- routes ----
+        def do_GET(self):
+            if self.path == "/health":
+                body = json.dumps({
+                    "status": "ok",
+                    "voices": sorted(state.registry.voices),
+                    "default_voice": state.registry.default,
+                }).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self._json_error(404, "not found")
+
+        def do_POST(self):
+            if self.path != "/v1/audio/speech":
+                return self._json_error(404, "not found")
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length) or b"{}")
+            except (ValueError, json.JSONDecodeError):
+                return self._json_error(400, "invalid JSON body")
+
+            text = req.get("input")
+            if not text or not isinstance(text, str):
+                return self._json_error(400, "missing 'input'")
+            if len(text) > MAX_INPUT_CHARS:
+                return self._json_error(400, f"input too long (max {MAX_INPUT_CHARS})")
+            fmt = req.get("response_format", "wav")
+            if fmt == "mp3":
+                return self._json_error(
+                    501, "mp3 encoding unavailable in this build; use wav or pcm")
+            if fmt not in ("wav", "pcm"):
+                return self._json_error(400, f"unsupported response_format '{fmt}'")
+
+            voice = state.registry.resolve(req.get("voice"))
+            if voice is None:
+                return self._json_error(400, "no voice configured; pass --voices or --ref-audio")
+
+            language = req.get("language", "English")
+            sr = state.model.sample_rate
+            try:
+                self._start_chunked("audio/wav" if fmt == "wav" else "audio/pcm")
+                if fmt == "wav":
+                    self._write_chunk(wav_header(sr))  # unknown-length header
+                max_new = int(req.get("max_new_tokens", 2048))
+                with state.lock:  # serialize the TPU
+                    for audio, _, _t in state.model.generate_voice_clone_streaming(
+                        text=text,
+                        language=language,
+                        ref_audio=voice["ref_audio"],
+                        ref_text=voice.get("ref_text", ""),
+                        chunk_size=state.chunk_size,
+                        max_new_tokens=max_new,
+                    ):
+                        self._write_chunk(to_pcm16(audio))
+                self._end_chunked()
+            except BrokenPipeError:
+                logger.info("client disconnected mid-stream")
+            except Exception as e:  # pragma: no cover — surfaced to client
+                logger.exception("generation failed")
+                try:
+                    self._write_chunk(b"")
+                    self._end_chunked()
+                except Exception:
+                    pass
+
+    return Handler
+
+
+def serve(model, registry: VoiceRegistry, host: str = "0.0.0.0", port: int = 8000,
+          chunk_size: int = 8) -> ThreadingHTTPServer:
+    state = TTSState(model, registry, chunk_size)
+    httpd = ThreadingHTTPServer((host, port), make_handler(state))
+    logger.info("OpenAI-compatible TTS server on %s:%d", host, port)
+    return httpd
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO)
+    p = argparse.ArgumentParser(description="OpenAI-compatible TTS server")
+    p.add_argument("--model", default="random:qwen3-tts-0.6b")
+    p.add_argument("--dtype", default="bf16")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--voices", default=None, help="voices.json registry")
+    p.add_argument("--ref-audio", default=None, help="single default voice")
+    p.add_argument("--ref-text", default="")
+    p.add_argument("--chunk-size", type=int, default=8)
+    args = p.parse_args(argv)
+
+    from ..api.model import FasterQwen3TTS
+
+    model = FasterQwen3TTS.from_pretrained(args.model, dtype=args.dtype)
+    registry = VoiceRegistry.from_args(args.voices, args.ref_audio, args.ref_text)
+    httpd = serve(model, registry, args.host, args.port, args.chunk_size)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        httpd.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -37,13 +37,30 @@ Params = Dict[str, jnp.ndarray]
 
 
 @dataclasses.dataclass(frozen=True)
+class StaticPolicy:
+    """Structural part of the predictor sampling policy (jit static arg)."""
+
+    do_sample: bool = True
+    top_k: int = 50
+    use_top_p: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
 class SamplingPolicy:
-    """Static sampling policy (hashable → usable as a jit static arg)."""
+    """User-facing predictor sampling policy (defaults mirror the reference
+    ctor, model.py:124-133).  Numeric knobs may be passed to predict_frame as
+    traced scalars so changes don't recompile."""
 
     do_sample: bool = True
     top_k: int = 50
     top_p: float = 1.0
     temperature: float = 0.9
+
+    @property
+    def static(self) -> StaticPolicy:
+        return StaticPolicy(
+            do_sample=self.do_sample, top_k=self.top_k, use_top_p=self.top_p < 1.0
+        )
 
 
 def block_spec(cfg: PredictorConfig) -> BlockSpec:
@@ -101,12 +118,18 @@ def predict_frame(
     cfg: PredictorConfig,
     pred_input: jnp.ndarray,  # [B, 2, H_talker] = cat(past_hidden, token0_embed)
     key: jax.Array,
-    policy: SamplingPolicy,
+    policy,  # SamplingPolicy or StaticPolicy
+    temperature=None,  # traced scalar; defaults to policy.temperature
+    top_p=None,  # traced scalar; defaults to policy.top_p
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run the full 15-codebook frame.  Returns (tokens [B, 15], embed_sum
     [B, 1, H_talker]) where embed_sum = Σ_i codec_embeddings[i][tokens_i] —
     precomputed here so the decode loop can build the next talker input with
     no extra device round-trips (reference generate.py:163-166)."""
+    if isinstance(policy, SamplingPolicy):
+        temperature = policy.temperature if temperature is None else temperature
+        top_p = policy.top_p if top_p is None else top_p
+        policy = policy.static
     B = pred_input.shape[0]
     spec = block_spec(cfg)
     S = cfg.max_seq
@@ -127,9 +150,10 @@ def predict_frame(
     tok0 = sample_logits(
         k0,
         logits0,
-        temperature=policy.temperature,
+        temperature=temperature,
         top_k=policy.top_k,
-        top_p=policy.top_p,
+        top_p=top_p,
+        use_top_p=policy.use_top_p,
         do_sample=policy.do_sample,
     )  # [B]
 
@@ -149,9 +173,10 @@ def predict_frame(
         tok = sample_logits(
             ks,
             logits,
-            temperature=policy.temperature,
+            temperature=temperature,
             top_k=policy.top_k,
-            top_p=policy.top_p,
+            top_p=top_p,
+            use_top_p=policy.use_top_p,
             do_sample=policy.do_sample,
         )
         return (kv_c, tok, key_c), tok

@@ -35,9 +35,9 @@ def build_suppress_mask(vocab_size: int, eos_id: int, zone: int = 1024) -> np.nd
 def apply_repetition_penalty(
     logits: jnp.ndarray,  # [..., V]
     seen: jnp.ndarray,  # [V] bool — ids generated so far
-    penalty: float,
+    penalty,  # python float or traced scalar
 ) -> jnp.ndarray:
-    if penalty == 1.0:
+    if isinstance(penalty, (int, float)) and penalty == 1.0:
         return logits
     lf = logits.astype(jnp.float32)
     penalized = jnp.where(lf > 0, lf / penalty, lf * penalty)
@@ -48,16 +48,19 @@ def sample_logits(
     key: jax.Array,
     logits: jnp.ndarray,  # [B, V]
     *,
-    temperature: float,
-    top_k: int,
-    top_p: float,
-    do_sample: bool,
+    temperature,  # python float or traced scalar
+    top_k: int,  # STATIC (selects the top_k op width)
+    top_p,  # python float or traced scalar; use_top_p gates the code path
+    do_sample: bool,  # STATIC (control flow)
+    use_top_p: Optional[bool] = None,  # STATIC; default inferred from top_p
     suppress_mask: Optional[jnp.ndarray] = None,  # [V] bool
     suppress_eos: Optional[jnp.ndarray] = None,  # scalar bool (traced ok)
     eos_id: int = -1,
 ) -> jnp.ndarray:
-    """Returns sampled token ids [B].  top_k/top_p/do_sample/temperature are
-    Python-level (static) sampling policy; suppress_eos may be traced."""
+    """Returns sampled token ids [B].  ``do_sample``/``top_k``/``use_top_p``
+    are static structure; ``temperature``/``top_p`` may be traced scalars so
+    per-request knob changes do NOT recompile (unlike the reference, which
+    freezes the policy into the captured graph, predictor_graph.py:34-50)."""
     logits = logits.astype(jnp.float32)
     V = logits.shape[-1]
     if suppress_mask is not None:
@@ -79,7 +82,9 @@ def sample_logits(
         kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
         logits = jnp.where(logits < kth, NEG_INF, logits)
 
-    if top_p < 1.0:
+    if use_top_p is None:
+        use_top_p = not (isinstance(top_p, (int, float)) and top_p >= 1.0)
+    if use_top_p:
         sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
         probs = jax.nn.softmax(sorted_logits, axis=-1)
         cum = jnp.cumsum(probs, axis=-1)

@@ -1,0 +1,146 @@
+"""Device-mesh sharding: DP + TP over ICI as a config change, not a rewrite.
+
+The reference is strictly single-GPU single-process — no distributed
+component of any kind (SURVEY.md §2.4; model.py:96-97 rejects non-CUDA).
+This module is the deliberate TPU-native escape hatch recorded there: params
+live under a ``jax.sharding.Mesh`` with named-axis PartitionSpecs so the 1.7B
+(or larger) models can tensor-shard across ICI, and serving replicas scale on
+the dp axis.  On one chip every spec collapses to replicated — zero cost.
+
+Also provides a sharded training step (forward + CE loss + grad + adamw) used
+by the multi-chip dry-run: inference is the product surface, but the layout
+supports fine-tuning the talker.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.config import TalkerConfig
+from ..models import talker as talker_lib
+from ..models.layers import prefill_mask, rms_norm, stack_forward
+
+
+def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None,
+              tp: Optional[int] = None) -> Mesh:
+    """1-D/2-D mesh over the available devices: axes ("dp", "tp")."""
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    devs = devs[:n]
+    if dp is None and tp is None:
+        dp, tp = 1, n
+    elif dp is None:
+        dp = n // tp
+    elif tp is None:
+        tp = n // dp
+    assert dp * tp == n, (dp, tp, n)
+    arr = np.array(devs).reshape(dp, tp)
+    return Mesh(arr, ("dp", "tp"))
+
+
+# ---------------------------------------------------------------------------
+# parameter partition specs
+# ---------------------------------------------------------------------------
+
+
+def talker_param_specs(cfg: TalkerConfig) -> Dict[str, Any]:
+    """PartitionSpecs for the talker param pytree (megatron-style TP):
+    column-parallel qkv/gate/up, row-parallel o/down; XLA inserts the psum."""
+    return {
+        "codec_embedding": P(None, "tp"),
+        "text_embedding": P(None, "tp"),
+        "text_projection": {"w": P("tp", None), "b": P(None)},
+        "blocks": {
+            "input_norm": P(None, None),
+            "q_proj": P(None, None, "tp"),
+            "k_proj": P(None, None, "tp"),
+            "v_proj": P(None, None, "tp"),
+            "o_proj": P(None, "tp", None),
+            "q_norm": P(None, None),
+            "k_norm": P(None, None),
+            "post_norm": P(None, None),
+            "gate_proj": P(None, None, "tp"),
+            "up_proj": P(None, None, "tp"),
+            "down_proj": P(None, "tp", None),
+        },
+        "final_norm": P(None),
+        "codec_head": P(None, "tp"),
+        "spk_proj": {"w": P(None, "tp"), "b": P("tp")},
+    }
+
+
+def shard_params(params: Dict, mesh: Mesh, specs: Dict) -> Dict:
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params,
+        specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sharded training step (forward + loss + grad + adamw)
+# ---------------------------------------------------------------------------
+
+
+def _talker_loss(params, cfg: TalkerConfig, embeds, targets, pad_count):
+    """CE loss of codec-head logits against next-frame codebook-0 targets."""
+    B, T, H = embeds.shape
+    kv = talker_lib.new_kv_cache(cfg, B, T, embeds.dtype)
+    eff = jnp.maximum(jnp.arange(T, dtype=jnp.int32)[None, :] - pad_count[:, None], 0)
+    cos, sin = talker_lib._positions(cfg, eff)
+    mask = prefill_mask(T, T, pad_count)
+    x, _ = stack_forward(
+        params["blocks"], embeds, cos, sin, kv, jnp.int32(0), mask,
+        talker_lib.block_spec(cfg),
+    )
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    logits = talker_lib.codec_head(params, x)  # [B, T, V]
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    valid = (jnp.arange(T, dtype=jnp.int32)[None, :] >= pad_count[:, None]).astype(jnp.float32)
+    return jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+
+
+def make_train_step(cfg: TalkerConfig, mesh: Mesh, learning_rate: float = 1e-4):
+    """Returns (init_opt_state, train_step) jitted over the mesh.
+
+    Shardings: params per ``talker_param_specs`` (TP), batch over dp, and the
+    sequence axis of activations over tp for the norm/embedding portions
+    (sequence-parallel analog) — XLA places the collectives on ICI.
+    """
+    import optax
+
+    opt = optax.adamw(learning_rate)
+    pspecs = talker_param_specs(cfg)
+    data_spec = P("dp", None, None)
+
+    def init_opt(params):
+        return opt.init(params)
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(
+            jax.tree.map(lambda s: NamedSharding(mesh, s), pspecs,
+                         is_leaf=lambda x: isinstance(x, P)),
+            None,
+            NamedSharding(mesh, data_spec),
+            NamedSharding(mesh, P("dp", None)),
+            NamedSharding(mesh, P("dp")),
+        ),
+        donate_argnums=(0, 1),
+    )
+    def train_step(params, opt_state, embeds, targets, pad_count):
+        loss, grads = jax.value_and_grad(
+            lambda p: _talker_loss(p, cfg, embeds, targets, pad_count)
+        )(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return init_opt, train_step

@@ -55,12 +55,23 @@ def bucket_for(n: int, buckets=PREFILL_BUCKETS) -> int:
 
 
 @dataclasses.dataclass(frozen=True)
-class GenerationPolicy:
-    """Static sampling policy for the talker's codebook-0 head.
+class StaticPolicy:
+    """The *structural* part of a sampling policy — the only part that is a
+    jit static argument.  Numeric knob values (temperature, top_p, penalty,
+    min_new_tokens) are traced scalars, so per-request changes do NOT
+    recompile (the reference instead froze the whole policy into the captured
+    graph, predictor_graph.py:34-50)."""
 
-    Hashable → used as a jit static argument; changing it re-specializes the
-    executable (the reference instead froze the policy into the captured graph,
-    predictor_graph.py:34-50)."""
+    do_sample: bool = True
+    top_k: int = 50
+    use_top_p: bool = False
+    use_rep_penalty: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class GenerationPolicy:
+    """User-facing sampling policy for the talker's codebook-0 head
+    (defaults match the reference CLI, cli.py:314-390)."""
 
     temperature: float = 0.9
     top_k: int = 50
@@ -68,6 +79,26 @@ class GenerationPolicy:
     do_sample: bool = True
     repetition_penalty: float = 1.05
     min_new_tokens: int = 2
+
+    @property
+    def static(self) -> StaticPolicy:
+        return StaticPolicy(
+            do_sample=self.do_sample,
+            top_k=self.top_k,
+            use_top_p=self.top_p < 1.0,
+            use_rep_penalty=self.repetition_penalty != 1.0,
+        )
+
+
+def make_knobs(policy: "GenerationPolicy", pred_policy: SamplingPolicy) -> jnp.ndarray:
+    """Pack the traced knob values into one [6] f32 device array (built once
+    per generation so chunk calls transfer nothing):
+    [temperature, top_p, rep_penalty, min_new_tokens, pred_temp, pred_top_p]."""
+    return jnp.asarray(
+        [policy.temperature, policy.top_p, policy.repetition_penalty,
+         float(policy.min_new_tokens), pred_policy.temperature, pred_policy.top_p],
+        jnp.float32,
+    )
 
 
 class Engine:
@@ -134,7 +165,8 @@ class Engine:
         pad_count: jnp.ndarray,  # [B]
         kv,
         key: jax.Array,
-        policy: GenerationPolicy,
+        knobs: jnp.ndarray,  # [6] traced sampling knobs (make_knobs)
+        policy: StaticPolicy,
     ):
         last, logits, kv = talker_lib.prefill(
             talker_params, self.talker_cfg, embeds, pad_count, kv
@@ -143,12 +175,13 @@ class Engine:
         token = sample_logits(
             ks,
             logits,
-            temperature=policy.temperature,
+            temperature=knobs[0],
             top_k=policy.top_k,
-            top_p=policy.top_p,
+            top_p=knobs[1],
+            use_top_p=policy.use_top_p,
             do_sample=policy.do_sample,
             suppress_mask=self._suppress,
-            suppress_eos=jnp.asarray(policy.min_new_tokens > 0),
+            suppress_eos=knobs[3] > 0,
             eos_id=self.eos_id,
         )
         state = {
@@ -169,6 +202,8 @@ class Engine:
         embeds: jnp.ndarray,  # [B, T, H] (unpadded)
         key: jax.Array,
         policy: GenerationPolicy,
+        pred_policy: SamplingPolicy = SamplingPolicy(),
+        knobs: Optional[jnp.ndarray] = None,
         pad_count: Optional[jnp.ndarray] = None,
         bucketed: bool = True,
     ) -> Dict:
@@ -186,8 +221,11 @@ class Engine:
                 [jnp.zeros((B, extra, H), embeds.dtype), embeds], axis=1
             )
         pad = jnp.asarray(base_pad + extra, jnp.int32)
+        if knobs is None:
+            knobs = make_knobs(policy, pred_policy)
         return self._prefill_jit(
-            self.talker_params, embeds, pad, self.new_kv(), key, policy=policy
+            self.talker_params, embeds, pad, self.new_kv(), key, knobs,
+            policy=policy.static,
         )
 
     # ------------------------------------------------------------------
@@ -202,8 +240,9 @@ class Engine:
         tth: jnp.ndarray,  # [B, Ttth, H] trailing text hiddens (padded w/ tts_pad)
         tth_len: jnp.ndarray,  # scalar int32 — true length
         tts_pad_embed: jnp.ndarray,  # [B, 1, H]
-        policy: GenerationPolicy,
-        pred_policy: SamplingPolicy,
+        knobs: jnp.ndarray,  # [6] traced sampling knobs
+        policy: StaticPolicy,
+        pred_policy: predictor_lib.StaticPolicy,
     ) -> Tuple[Dict, jnp.ndarray]:
         """One full frame step.  Caller guarantees state['token'] != EOS."""
         tcfg, pcfg = self.talker_cfg, self.pred_cfg
@@ -215,7 +254,8 @@ class Engine:
         pred_input = jnp.concatenate([state["past_hidden"], tok_embed], axis=1)
         key, kp = jax.random.split(key)
         cb_tokens, cb_embed_sum = predictor_lib.predict_frame(
-            pred_params, pcfg, pred_input, kp, pred_policy
+            pred_params, pcfg, pred_input, kp, pred_policy,
+            temperature=knobs[4], top_p=knobs[5],
         )
         frame = jnp.concatenate([token[:, None], cb_tokens], axis=1)  # [B, 16]
 
@@ -239,19 +279,21 @@ class Engine:
         # --- repetition penalty over codebook-0 history incl. current token
         #     (reference generate.py:184-186)
         seen = state["seen"].at[token[0]].set(True)
-        logits = apply_repetition_penalty(logits, seen, policy.repetition_penalty)
+        if policy.use_rep_penalty:
+            logits = apply_repetition_penalty(logits, seen, knobs[2])
 
         key, ks = jax.random.split(key)
         n_gen = state["n_gen"] + 1
         next_token = sample_logits(
             ks,
             logits,
-            temperature=policy.temperature,
+            temperature=knobs[0],
             top_k=policy.top_k,
-            top_p=policy.top_p,
+            top_p=knobs[1],
+            use_top_p=policy.use_top_p,
             do_sample=policy.do_sample,
             suppress_mask=self._suppress,
-            suppress_eos=n_gen < policy.min_new_tokens,
+            suppress_eos=n_gen < knobs[3].astype(jnp.int32),
             eos_id=self.eos_id,
         )
 
@@ -269,16 +311,21 @@ class Engine:
         return new_state, frame
 
     def _step_impl(self, talker_params, pred_params, state, tth, tth_len, tpe,
-                   policy: GenerationPolicy, pred_policy: SamplingPolicy):
+                   knobs, policy: StaticPolicy, pred_policy):
         return self._one_step(
-            talker_params, pred_params, state, tth, tth_len, tpe, policy, pred_policy
+            talker_params, pred_params, state, tth, tth_len, tpe, knobs,
+            policy, pred_policy,
         )
 
-    def decode_step(self, state, tth, tth_len, tpe, policy, pred_policy):
+    def decode_step(self, state, tth, tth_len, tpe, policy, pred_policy,
+                    knobs=None):
         """Single fused decode step (parity/debug path)."""
+        if knobs is None:
+            knobs = make_knobs(policy, pred_policy)
         return self._step_jit(
             self.talker_params, self.predictor_params, state, tth,
-            jnp.int32(tth_len), tpe, policy=policy, pred_policy=pred_policy,
+            jnp.int32(tth_len), tpe, knobs,
+            policy=policy.static, pred_policy=pred_policy.static,
         )
 
     # ------------------------------------------------------------------
@@ -293,8 +340,9 @@ class Engine:
         tth,
         tth_len,
         tpe,
-        policy: GenerationPolicy,
-        pred_policy: SamplingPolicy,
+        knobs,
+        policy: StaticPolicy,
+        pred_policy,
         chunk_size: int,
     ):
         B = self.batch
@@ -312,7 +360,8 @@ class Engine:
         def body(carry):
             st, frames, n = carry
             st, frame = self._one_step(
-                talker_params, pred_params, st, tth, tth_len, tpe, policy, pred_policy
+                talker_params, pred_params, st, tth, tth_len, tpe, knobs,
+                policy, pred_policy,
             )
             frames = jax.lax.dynamic_update_slice(frames, frame[:, None, :], (0, n, 0))
             return st, frames, n + 1
@@ -321,13 +370,17 @@ class Engine:
         done = (state["token"][0] == self.eos_id) | (state["pos"] >= limit)
         return state, frames, n, done
 
-    def decode_chunk(self, state, tth, tth_len, tpe, policy, pred_policy, chunk_size):
+    def decode_chunk(self, state, tth, tth_len, tpe, policy, pred_policy,
+                     chunk_size, knobs=None):
         """Run up to chunk_size fused steps in one device program.
         Returns (state, frames [B,chunk,16], n_valid, done) — one host sync."""
+        if knobs is None:
+            knobs = make_knobs(policy, pred_policy)
         return self._chunk_jit(
             self.talker_params, self.predictor_params, state, tth,
-            jnp.int32(tth_len), tpe,
-            policy=policy, pred_policy=pred_policy, chunk_size=chunk_size,
+            jnp.int32(tth_len), tpe, knobs,
+            policy=policy.static, pred_policy=pred_policy.static,
+            chunk_size=chunk_size,
         )
 
     # ------------------------------------------------------------------
@@ -351,13 +404,14 @@ class Engine:
         tth = jnp.zeros((B, Tt, H), self.dtype)
         tpe = jnp.zeros((B, 1, H), self.dtype)
         key = jax.random.PRNGKey(0)
+        knobs = make_knobs(policy, pred_policy)
         state = self._prefill_jit(
             self.talker_params, embeds, jnp.zeros((B,), jnp.int32), self.new_kv(),
-            key, policy=policy,
+            key, knobs, policy=policy.static,
         )
         for cs in chunk_sizes:
             state, frames, n, done = self.decode_chunk(
-                state, tth, 0, tpe, policy, pred_policy, cs
+                state, tth, 0, tpe, policy, pred_policy, cs, knobs=knobs
             )
         jax.block_until_ready(state)
         self._warmed_up = True

@@ -2,8 +2,16 @@
 
 Orchestrates Engine prefill + chunked decode.  Timing-dict contracts match the
 reference exactly (generate.py:205-211, streaming.py:162-169) so benchmarks
-and the app layer carry over unchanged.  ``jax.block_until_ready`` replaces
-``torch.cuda.synchronize`` at the same bracket points (SURVEY.md §5 tracing).
+and the app layer carry over unchanged.
+
+Latency design: the host loop is *pipelined* — the next decode chunk is
+dispatched BEFORE the current chunk's results are read back, and all of a
+chunk's outputs come home in ONE fused ``jax.device_get``.  JAX's async
+dispatch queues the next chunk on-device while the host handles audio, so
+per-call dispatch latency (large on tunneled TPU runtimes) is hidden.  After
+EOS the one speculative chunk exits its while_loop immediately (token==EOS
+⇒ zero iterations), so the overshoot costs nothing.  The reference instead
+pays one ``token.item()`` sync per decode step (generate.py:149-150).
 """
 from __future__ import annotations
 
@@ -15,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.predictor import SamplingPolicy
-from .engine import Engine, GenerationPolicy, TTH_BUCKETS, bucket_for
+from .engine import Engine, GenerationPolicy, TTH_BUCKETS, bucket_for, make_knobs
 
 Frames = np.ndarray  # [steps, 16] int32
 
@@ -29,6 +37,40 @@ def _pad_tth(tth: jnp.ndarray, tpe: jnp.ndarray, bucketed: bool) -> Tuple[jnp.nd
         pad = jnp.broadcast_to(tpe, (B, Tb - T, H))
         tth = jnp.concatenate([tth, pad], axis=1)
     return tth, T
+
+
+def _chunk_iter(
+    engine: Engine,
+    state: Dict,
+    tth: jnp.ndarray,
+    tth_len,
+    tpe: jnp.ndarray,
+    policy: GenerationPolicy,
+    pred_policy: SamplingPolicy,
+    chunk_size: int,
+    max_new_tokens: int,
+):
+    """Yields (frames_np [n,16], done) with 1-deep pipelining: chunk k+1 is
+    dispatched before chunk k is read."""
+    tth_len_dev = jnp.int32(tth_len)
+    knobs = make_knobs(policy, pred_policy)
+    emitted = 0
+    pending = engine.decode_chunk(state, tth, tth_len_dev, tpe, policy,
+                                  pred_policy, chunk_size, knobs=knobs)
+    while True:
+        state, frames, n, done = pending
+        may_continue = emitted + chunk_size < max_new_tokens
+        if may_continue:
+            # speculative dispatch: enqueued on-device before we block on k
+            pending = engine.decode_chunk(state, tth, tth_len_dev, tpe, policy,
+                                          pred_policy, chunk_size, knobs=knobs)
+        frames_np, n_val, done_val = jax.device_get((frames, n, done))  # 1 sync
+        n_val = min(int(n_val), max_new_tokens - emitted)
+        emitted += n_val
+        done_val = bool(done_val) or emitted >= max_new_tokens
+        yield frames_np[0, :n_val], done_val
+        if done_val or not may_continue or n_val == 0:
+            return
 
 
 def fast_generate(
@@ -53,22 +95,15 @@ def fast_generate(
 
     t1 = time.time()
     chunks = []
-    steps = 0
-    while steps < max_new_tokens:
-        # Always run the same chunk_size so exactly ONE executable is used;
-        # the budget is enforced by trimming on host (avoids per-remainder
-        # recompiles).
-        state, frames, n, done = engine.decode_chunk(
-            state, tth, tth_len, tts_pad_embed, policy, pred_policy, device_chunk
-        )
-        n = min(int(n), max_new_tokens - steps)
-        if n:
-            chunks.append(np.asarray(frames[0, :n]))
-            steps += n
-        if bool(done) or n == 0:
-            break
+    for frames_np, done in _chunk_iter(
+        engine, state, tth, tth_len, tts_pad_embed, policy, pred_policy,
+        device_chunk, max_new_tokens,
+    ):
+        if len(frames_np):
+            chunks.append(frames_np)
     t_decode = time.time() - t1
 
+    steps = sum(c.shape[0] for c in chunks)
     timing = {
         "prefill_ms": t_prefill * 1000,
         "decode_s": t_decode,
@@ -96,8 +131,8 @@ def fast_generate_streaming(
 ) -> Generator[Tuple[Frames, Dict], None, None]:
     """Streaming generation: yields ([chunk_steps,16], timing) every chunk.
 
-    One device program + one host sync per chunk (the reference pays a sync
-    per *step*, streaming.py:107).  Timing keys match streaming.py:162-169.
+    Pipelined: while the consumer vocodes chunk k, chunk k+1 is already
+    running on-device.  Timing keys match the reference (streaming.py:162-169).
     """
     t0 = time.time()
     tth, tth_len = _pad_tth(trailing_text_hiddens, tts_pad_embed, bucketed)
@@ -107,30 +142,26 @@ def fast_generate_streaming(
 
     total_steps = 0
     chunk_count = 0
-    budget = max_new_tokens
     chunk_start = time.time()
-    while budget > 0:
-        state, frames, n, done = engine.decode_chunk(
-            state, tth, tth_len, tts_pad_embed, policy, pred_policy, chunk_size
-        )
-        n = min(int(n), budget)
-        done = bool(done)
-        budget -= n
-        if n:
-            total_steps += n
-            chunk_decode = time.time() - chunk_start
-            yield np.asarray(frames[0, :n]), {
-                "chunk_index": chunk_count,
-                "chunk_steps": n,
-                "prefill_ms": t_prefill * 1000 if chunk_count == 0 else 0,
-                "decode_ms": chunk_decode * 1000,
-                "total_steps_so_far": total_steps,
-                "is_final": done or budget <= 0,
-            }
-            chunk_count += 1
-            chunk_start = time.time()
-        if done or n == 0:
+    for frames_np, done in _chunk_iter(
+        engine, state, tth, tth_len, tts_pad_embed, policy, pred_policy,
+        chunk_size, max_new_tokens,
+    ):
+        n = frames_np.shape[0]
+        if n == 0:
             break
+        total_steps += n
+        chunk_decode = time.time() - chunk_start
+        yield frames_np, {
+            "chunk_index": chunk_count,
+            "chunk_steps": n,
+            "prefill_ms": t_prefill * 1000 if chunk_count == 0 else 0,
+            "decode_ms": chunk_decode * 1000,
+            "total_steps_so_far": total_steps,
+            "is_final": done,
+        }
+        chunk_count += 1
+        chunk_start = time.time()
 
 
 def parity_generate(
@@ -157,13 +188,14 @@ def parity_generate(
 
     t1 = time.time()
     frames_list = []
+    knobs = make_knobs(policy, pred_policy)
     for _ in range(max_new_tokens):
         if int(state["token"][0]) == engine.eos_id:
             break
         if int(state["pos"]) >= engine.max_seq_len - 1:
             break
         state, frame = engine.decode_step(
-            state, tth, tth_len, tts_pad_embed, policy, pred_policy
+            state, tth, tth_len, tts_pad_embed, policy, pred_policy, knobs=knobs
         )
         frames_list.append(np.asarray(frame))
     t_decode = time.time() - t1

@@ -1,0 +1,80 @@
+"""Codec tests: shapes, strict causality, pad-window equivalence, RVQ encoder.
+
+These invariants are what make the streaming vocoder a single fixed-shape
+executable (audio/vocoder.py) — the TPU analog of the reference's calibrated
+sliding-window decode (model.py:737-826)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qwen3tts_tpu.models import codec as C
+
+
+@pytest.fixture(scope="module")
+def codec(tiny_cfg):
+    params = C.init_params(jax.random.PRNGKey(0), tiny_cfg.codec, jnp.float32)
+    return params, tiny_cfg.codec
+
+
+def _codes(cfg, n, seed=1):
+    return jax.random.randint(jax.random.PRNGKey(seed), (1, n, cfg.num_quantizers),
+                              0, cfg.codebook_size)
+
+
+def test_decode_shape_exact_upsample(codec):
+    params, cfg = codec
+    wav = C.decode(params, cfg, _codes(cfg, 12))
+    assert wav.shape == (1, 12 * cfg.total_upsample)
+    assert np.abs(np.asarray(wav)).max() <= 1.0
+
+
+def test_strict_causality(codec):
+    """Prefix frames decode identically regardless of what follows."""
+    params, cfg = codec
+    codes = _codes(cfg, 24)
+    full = np.asarray(C.decode(params, cfg, codes))
+    prefix = np.asarray(C.decode(params, cfg, codes[:, :16]))
+    np.testing.assert_allclose(full[:, : 16 * cfg.total_upsample], prefix, atol=1e-5)
+
+
+def test_pad_count_equivalence(codec):
+    """Left-padded + masked window == unpadded decode of the same frames."""
+    params, cfg = codec
+    codes = _codes(cfg, 10)
+    plain = np.asarray(C.decode(params, cfg, codes))
+    padded = jnp.concatenate([jnp.zeros((1, 6, cfg.num_quantizers), jnp.int32), codes], 1)
+    win = np.asarray(C.decode(params, cfg, padded, pad_count=jnp.array([6], jnp.int32)))
+    np.testing.assert_allclose(win[:, 6 * cfg.total_upsample :], plain, atol=1e-4)
+
+
+def test_encode_shapes_and_range(codec):
+    params, cfg = codec
+    wav = jax.random.normal(jax.random.PRNGKey(2), (1, 10 * cfg.total_upsample)) * 0.1
+    codes = C.encode(params, cfg, wav)
+    assert codes.shape == (1, 10, cfg.num_quantizers)
+    assert int(codes.min()) >= 0 and int(codes.max()) < cfg.codebook_size
+
+
+def test_encode_drops_partial_frame(codec):
+    params, cfg = codec
+    wav = jnp.zeros((1, 3 * cfg.total_upsample + 17))
+    assert C.encode(params, cfg, wav).shape[1] == 3
+
+
+def test_vocoder_stream_matches_full_decode(codec):
+    """StreamDecoder with context >= receptive window matches chunk count and
+    length; and context-window output is identical to full decode for the
+    frames where full left context is present."""
+    from qwen3tts_tpu.audio.vocoder import Vocoder
+
+    params, cfg = codec
+    v = Vocoder(params, cfg, context_frames=25)
+    codes = np.asarray(_codes(cfg, 30)[0])
+    full = v.decode(codes)
+    sd = v.stream_decoder(chunk_size=6)
+    outs = [sd.feed(codes[i : i + 6]) for i in range(0, 30, 6)]
+    stream = np.concatenate(outs)
+    assert stream.shape == full.shape
+    # first (context) chunk is exactly the full decode prefix
+    np.testing.assert_allclose(outs[0], full[: len(outs[0])], atol=1e-5)

@@ -1,0 +1,158 @@
+"""App-layer tests: OpenAI-compatible server, demo server, CLI — driven over
+real HTTP sockets / argv with the tiny model."""
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def oai_server(tiny_tts, tmp_path_factory):
+    from qwen3tts_tpu.apps.openai_server import VoiceRegistry, serve
+    from qwen3tts_tpu.audio.wav import write_wav
+
+    d = tmp_path_factory.mktemp("oai")
+    sr = 24_000
+    wav = (0.3 * np.sin(np.linspace(0, 400, sr))).astype(np.float32)
+    write_wav(d / "v.wav", wav, sr)
+    reg = VoiceRegistry.from_args(None, str(d / "v.wav"), "ref")
+    httpd = serve(tiny_tts, reg, host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}"
+    httpd.shutdown()
+
+
+def _post(url, body, timeout=300):
+    req = urllib.request.Request(
+        url, data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    return urllib.request.urlopen(req, timeout=timeout)
+
+
+def test_health(oai_server):
+    with urllib.request.urlopen(oai_server + "/health") as r:
+        body = json.loads(r.read())
+    assert body["status"] == "ok"
+    assert body["default_voice"] == "default"
+
+
+def test_speech_wav_streaming(oai_server):
+    with _post(oai_server + "/v1/audio/speech",
+               {"input": "Hello.", "response_format": "wav"}) as r:
+        data = r.read()
+    assert r.headers["Content-Type"] == "audio/wav"
+    assert data[:4] == b"RIFF" and data[4:8] == b"\xff\xff\xff\xff"
+    pcm = np.frombuffer(data[44:], "<i2")
+    assert len(pcm) > 0 and len(pcm) % 2000 == 0  # whole codec frames
+
+
+def test_speech_pcm(oai_server):
+    with _post(oai_server + "/v1/audio/speech",
+               {"input": "Hi.", "response_format": "pcm"}) as r:
+        data = r.read()
+    assert len(data) % 2 == 0 and len(data) > 0
+
+
+def test_speech_errors(oai_server):
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(oai_server + "/v1/audio/speech", {"voice": "x"})
+    assert e.value.code == 400  # missing input
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(oai_server + "/v1/audio/speech",
+              {"input": "x", "response_format": "mp3"})
+    assert e.value.code == 501  # mp3 gated
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(oai_server + "/v1/audio/speech",
+              {"input": "x" * 5000})
+    assert e.value.code == 400  # too long
+
+
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def demo_server(monkeypatch_module=None):
+    import qwen3tts_tpu.apps.demo_server as ds
+
+    httpd, state = ds.serve(models=["random:tiny"], dtype="fp32",
+                            host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}", state
+    httpd.shutdown()
+
+
+def test_demo_index_and_status(demo_server):
+    url, _ = demo_server
+    with urllib.request.urlopen(url + "/") as r:
+        html = r.read().decode()
+    assert "Qwen3-TTS" in html and "generate" in html
+    with urllib.request.urlopen(url + "/status") as r:
+        st = json.loads(r.read())
+    assert st["available_models"] == ["random:tiny"]
+    assert "speakers" in st and st["queue_depth"] == 0
+
+
+def test_demo_generate_stream_sse(demo_server, ref_wav):
+    import base64
+
+    url, _ = demo_server
+    ref_b64 = base64.b64encode(open(ref_wav, "rb").read()).decode()
+    with _post(url + "/generate/stream",
+               {"mode": "clone", "text": "Hi.", "ref_audio_b64": ref_b64,
+                "max_new_tokens": 8, "chunk_size": 4}) as r:
+        raw = r.read().decode()
+    events = [json.loads(line[6:]) for line in raw.split("\n\n")
+              if line.startswith("data: ")]
+    kinds = [e["event"] for e in events]
+    assert "chunk" in kinds and kinds[-1] == "done"
+    first = next(e for e in events if e["event"] == "chunk")
+    assert first["ttfa_ms"] > 0 and "wav_b64" in first
+
+
+def test_demo_guards(demo_server):
+    import urllib.error
+
+    url, _ = demo_server
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(url + "/generate", {"text": "x" * 2000})
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(url + "/load", {"model": "nope"})
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(url + "/transcribe", {})
+    assert e.value.code == 501  # ASR hook not registered
+
+
+def test_demo_model_cache_lru(demo_server):
+    _, state = demo_server
+    state.get_model("random:tiny")
+    assert list(state.model_cache) == ["random:tiny"]
+
+
+# ---------------------------------------------------------------------------
+
+
+def test_cli_clone_and_list_speakers(tmp_path, ref_wav, capsys):
+    from qwen3tts_tpu.apps.cli import main
+
+    out = tmp_path / "o.wav"
+    main(["clone", "--model", "random:tiny", "--text", "Hello.",
+          "--ref-audio", ref_wav, "--max-new-tokens", "6",
+          "-o", str(out)])
+    assert out.exists()
+    from qwen3tts_tpu.audio.wav import read_wav
+    wav, sr = read_wav(out)
+    assert sr == 24_000 and len(wav) % 2000 == 0
+
+    main(["custom", "--model", "random:tiny-custom", "--list-speakers"])
+    outtxt = capsys.readouterr().out
+    assert "vivian" in outtxt
