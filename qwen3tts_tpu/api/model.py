@@ -316,9 +316,14 @@ class FasterQwen3TTS:
         append_silence: bool = True,
         parity_mode: bool = False,
         instruct: Optional[str] = None,
+        first_chunks: Tuple[int, ...] = (),
     ) -> Generator[Tuple[np.ndarray, int, dict], None, None]:
         """Streaming voice clone: yields (audio_chunk, sr, timing) every
-        ``chunk_size`` codec steps (reference model.py:670-826)."""
+        ``chunk_size`` codec steps (reference model.py:670-826).
+
+        ``first_chunks``: optional ramp-up of initial chunk sizes (e.g.
+        ``(2, 4)``) to cut TTFA — audio starts flowing after the first small
+        chunk instead of a full ``chunk_size`` one."""
         embeds, trailing, tpe, ref_codes = self._prepare_clone(
             text, ref_audio, ref_text, language, xvec_only, non_streaming_mode,
             append_silence, instruct,
@@ -327,14 +332,15 @@ class FasterQwen3TTS:
                                    repetition_penalty, min_new_tokens)
         if not parity_mode:
             self._warmup(embeds.shape[1], trailing.shape[1], pol, ppol,
-                         chunk_sizes=(chunk_size,))
+                         chunk_sizes=tuple(dict.fromkeys(list(first_chunks) + [chunk_size])))
         yield from self._stream_audio(
             embeds, trailing, tpe, ref_codes, pol, ppol, max_new_tokens,
-            chunk_size, parity_mode,
+            chunk_size, parity_mode, first_chunks=first_chunks,
         )
 
     def _stream_audio(self, embeds, trailing, tpe, ref_codes, pol, ppol,
-                      max_new_tokens, chunk_size, parity_mode=False):
+                      max_new_tokens, chunk_size, parity_mode=False,
+                      first_chunks=()):
         sd = self.vocoder.stream_decoder(chunk_size)
         if ref_codes is not None and len(ref_codes):
             sd.feed(np.asarray(ref_codes))  # prime acoustic context, discard audio
@@ -345,7 +351,7 @@ class FasterQwen3TTS:
             codes_iter = loops.fast_generate_streaming(
                 self.engine, embeds, trailing, tpe, key=self._next_key(),
                 max_new_tokens=max_new_tokens, policy=pol, pred_policy=ppol,
-                chunk_size=chunk_size,
+                chunk_size=chunk_size, first_chunks=first_chunks,
             )
         for codec_chunk, timing in codes_iter:
             audio = sd.feed(codec_chunk)

@@ -125,6 +125,7 @@ def block_forward(
     write_pos: jnp.ndarray,  # scalar int32 — where new K/V rows go
     mask: jnp.ndarray,  # [B, Tq, S] bool
     spec: BlockSpec,
+    flash_ctx: Optional[Dict] = None,  # {"pos","pad","window"} → Pallas decode
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One decoder block over an S-slot static KV cache.  Returns
     (x_out, k_cache', v_cache')."""
@@ -145,7 +146,18 @@ def block_forward(
     k_cache = jax.lax.dynamic_update_slice(k_cache, k, (0, write_pos, 0, 0))
     v_cache = jax.lax.dynamic_update_slice(v_cache, v, (0, write_pos, 0, 0))
 
-    attn = _attn_core(q, k_cache, v_cache, mask, spec.num_heads // spec.num_kv_heads)
+    if flash_ctx is not None and Tq == 1 and B == 1:
+        # Pallas flash-decode: streams only the live KV prefix from HBM
+        from ..ops.flash_decode import flash_decode
+
+        attn = flash_decode(
+            q[0, 0], k_cache[0], v_cache[0],
+            flash_ctx["pos"], flash_ctx["pad"],
+            sliding_window=flash_ctx.get("window"),
+        )[None, None]
+    else:
+        attn = _attn_core(q, k_cache, v_cache, mask,
+                          spec.num_heads // spec.num_kv_heads)
     x = x + attn.reshape(B, Tq, spec.q_dim) @ p["o_proj"]
 
     h = rms_norm(x, p["post_norm"], eps)
@@ -164,6 +176,7 @@ def stack_forward(
     spec: BlockSpec,
     mask_sliding: Optional[jnp.ndarray] = None,  # [B, Tq, S] for sliding layers
     layer_is_sliding: Optional[jnp.ndarray] = None,  # [L] bool
+    flash_ctx: Optional[Dict] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Run the whole layer stack with lax.scan.  Returns (x_out, kv')."""
 
@@ -175,7 +188,8 @@ def stack_forward(
         xc = carry
         lp, kc, vc, sliding = inp
         m = jnp.where(sliding, mask_sliding, mask_full)
-        xc, kc, vc = block_forward(lp, xc, cos, sin, kc, vc, write_pos, m, spec)
+        xc, kc, vc = block_forward(lp, xc, cos, sin, kc, vc, write_pos, m, spec,
+                                   flash_ctx=flash_ctx)
         return xc, (kc, vc)
 
     x_out, (k_new, v_new) = jax.lax.scan(

@@ -175,6 +175,7 @@ def decode_step(
     pos: jnp.ndarray,  # scalar int32 — absolute cache position to write
     pad_count: jnp.ndarray,  # [B] int32
     kv: Dict[str, jnp.ndarray],
+    use_flash: bool = False,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Single-token decode over the static cache.  Returns (hidden [B,1,H], kv').
 
@@ -194,6 +195,11 @@ def decode_step(
         else None
     )
 
+    # Pallas flash-decode only covers uniform (non-sliding) stacks for now
+    flash_ctx = None
+    if use_flash and cfg.sliding_window is None:
+        flash_ctx = {"pos": pos, "pad": pad_count[0], "window": None}
+
     x, kv = stack_forward(
         params["blocks"],
         x,
@@ -205,6 +211,7 @@ def decode_step(
         block_spec(cfg),
         mask_sliding=m_slide,
         layer_is_sliding=layer_sliding_flags(cfg) if m_slide is not None else None,
+        flash_ctx=flash_ctx,
     )
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     return x, kv

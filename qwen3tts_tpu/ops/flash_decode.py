@@ -1,0 +1,197 @@
+"""Pallas flash-decode attention over the padded static KV cache.
+
+The reference leans on cuDNN SDPA over the full fixed-length mask
+(SURVEY.md §2.3 item 3); the XLA fallback here similarly scores all
+``max_seq_len`` slots and masks.  This kernel is the TPU-native upgrade:
+
+  - K/V stay in HBM; the kernel DMA-streams only the *live* prefix
+    (``ceil((pos+1)/block)`` blocks — a dynamic trip count, so at position
+    100 of a 2048-slot cache it moves ~5% of the bytes);
+  - double-buffered async copies overlap the next block's DMA with the
+    current block's MXU work (pallas_guide.md double-buffering pattern);
+  - online softmax (running max / sum) in f32 scratch, GQA via a
+    kv-head-batched dot.
+
+Single-token decode, batch 1: q [NH, D], cache [S, KVH, D].
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _kernel(
+    pos_ref,  # SMEM [1] int32 — current absolute position
+    pad_ref,  # SMEM [1] int32 — left-pad count
+    q_ref,  # VMEM [KVH, G, D]
+    k_hbm,  # ANY [S, KVH, D]
+    v_hbm,  # ANY [S, KVH, D]
+    o_ref,  # VMEM [KVH, G, D]
+    kbuf,  # VMEM scratch [2, BS, KVH, D]
+    vbuf,  # VMEM scratch [2, BS, KVH, D]
+    m_scr,  # VMEM scratch [KVH, G, 128] f32 (running max, lane-replicated)
+    l_scr,  # VMEM scratch [KVH, G, 128] f32 (running denom)
+    acc_scr,  # VMEM scratch [KVH, G, D] f32
+    sems,  # DMA semaphores [2, 2]
+    *,
+    block_size: int,
+    sliding_window: Optional[int],
+    scale: float,
+):
+    pos = pos_ref[0]
+    pad = pad_ref[0]
+    BS = block_size
+    KVH, G, D = q_ref.shape
+    nb = (pos + 1 + BS - 1) // BS  # dynamic trip count — the whole point
+
+    def k_dma(i, slot):
+        return pltpu.make_async_copy(
+            k_hbm.at[pl.ds(i * BS, BS)], kbuf.at[slot], sems.at[slot, 0]
+        )
+
+    def v_dma(i, slot):
+        return pltpu.make_async_copy(
+            v_hbm.at[pl.ds(i * BS, BS)], vbuf.at[slot], sems.at[slot, 1]
+        )
+
+    # warm up the pipeline
+    k_dma(0, 0).start()
+    v_dma(0, 0).start()
+
+    m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+    l_scr[...] = jnp.zeros_like(l_scr)
+    acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[...].astype(jnp.float32)  # [KVH, G, D]
+
+    def body(i, _):
+        slot = jax.lax.rem(i, 2)
+        nslot = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i + 1 < nb)
+        def _():
+            k_dma(i + 1, nslot).start()
+            v_dma(i + 1, nslot).start()
+
+        k_dma(i, slot).wait()
+        v_dma(i, slot).wait()
+
+        k = jnp.swapaxes(kbuf[slot], 0, 1).astype(jnp.float32)  # [KVH, BS, D]
+        scores = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [KVH, G, BS]
+
+        idx = i * BS + jax.lax.broadcasted_iota(jnp.int32, (1, 1, BS), 2)
+        valid = (idx <= pos) & (idx >= pad)
+        if sliding_window is not None:
+            valid = valid & (idx > pos - sliding_window)
+        scores = jnp.where(valid, scores, NEG_INF)
+
+        m_prev = m_scr[:, :, 0:1]  # [KVH, G, 1]
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
+        corr = jnp.exp(m_prev - m_new)  # [KVH, G, 1]
+        p = jnp.exp(scores - m_new)  # [KVH, G, BS]
+
+        l_prev = l_scr[:, :, 0:1]
+        l_scr[...] = jnp.broadcast_to(l_prev * corr + jnp.sum(p, -1, keepdims=True),
+                                      l_scr.shape)
+        m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
+
+        v = jnp.swapaxes(vbuf[slot], 0, 1).astype(jnp.float32)  # [KVH, BS, D]
+        pv = jax.lax.dot_general(
+            p, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [KVH, G, D]
+        acc_scr[...] = acc_scr[...] * corr + pv
+        return 0
+
+    jax.lax.fori_loop(0, nb, body, 0)
+    o_ref[...] = (acc_scr[...] / l_scr[:, :, 0:1]).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_size", "sliding_window", "interpret")
+)
+def flash_decode(
+    q: jnp.ndarray,  # [NH, D] (post rope+norm)
+    k_cache: jnp.ndarray,  # [S, KVH, D]
+    v_cache: jnp.ndarray,  # [S, KVH, D]
+    pos: jnp.ndarray,  # scalar int32
+    pad_count: jnp.ndarray,  # scalar int32
+    *,
+    block_size: int = 256,
+    sliding_window: Optional[int] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Returns attention output [NH, D] (same dtype as q)."""
+    S, KVH, D = k_cache.shape
+    NH = q.shape[0]
+    G = NH // KVH
+    block_size = min(block_size, S)
+    assert S % block_size == 0, (S, block_size)
+    if not interpret and jax.default_backend() == "cpu":
+        interpret = True  # compiled Pallas is TPU-only; CPU uses the interpreter
+    qg = q.reshape(KVH, G, D)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # q
+            pl.BlockSpec(memory_space=pltpu.ANY),  # k (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),  # v (HBM)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, block_size, KVH, D), k_cache.dtype),
+            pltpu.VMEM((2, block_size, KVH, D), v_cache.dtype),
+            pltpu.VMEM((KVH, G, 128), jnp.float32),
+            pltpu.VMEM((KVH, G, 128), jnp.float32),
+            pltpu.VMEM((KVH, G, D), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, block_size=block_size, sliding_window=sliding_window,
+            scale=D**-0.5,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((KVH, G, D), q.dtype),
+        interpret=interpret,
+    )(
+        jnp.reshape(pos.astype(jnp.int32), (1,)),
+        jnp.reshape(pad_count.astype(jnp.int32), (1,)),
+        qg,
+        k_cache,
+        v_cache,
+    )
+    return out.reshape(NH, D)
+
+
+def flash_decode_reference(q, k_cache, v_cache, pos, pad_count,
+                           sliding_window=None):
+    """Pure-jnp oracle for tests: full-length masked attention."""
+    S, KVH, D = k_cache.shape
+    NH = q.shape[0]
+    G = NH // KVH
+    qg = q.reshape(KVH, G, D).astype(jnp.float32)
+    k = jnp.swapaxes(k_cache, 0, 1).astype(jnp.float32)  # [KVH, S, D]
+    v = jnp.swapaxes(v_cache, 0, 1).astype(jnp.float32)
+    scores = jnp.einsum("kgd,ksd->kgs", qg, k) * (D**-0.5)
+    idx = jnp.arange(S)
+    valid = (idx <= pos) & (idx >= pad_count)
+    if sliding_window is not None:
+        valid = valid & (idx > pos - sliding_window)
+    scores = jnp.where(valid[None, None, :], scores, NEG_INF)
+    p = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("kgs,ksd->kgd", p, v)
+    return out.reshape(NH, D).astype(q.dtype)

@@ -116,6 +116,7 @@ class Engine:
         *,
         max_seq_len: int = 2048,
         batch: int = 1,
+        use_flash_decode: bool = False,
     ):
         self.cfg = cfg
         self.talker_cfg = cfg.talker
@@ -126,6 +127,7 @@ class Engine:
         self.batch = batch
         self.dtype = cfg.jnp_dtype
         self.eos_id = cfg.talker.codec_eos_token_id
+        self.use_flash_decode = use_flash_decode
         self._suppress = jnp.asarray(
             build_suppress_mask(cfg.talker.vocab_size, self.eos_id)
         )
@@ -272,7 +274,8 @@ class Engine:
 
         # --- talker decode step
         hidden, kv = talker_lib.decode_step(
-            talker_params, tcfg, x, state["pos"], state["pad_count"], state["kv"]
+            talker_params, tcfg, x, state["pos"], state["pad_count"], state["kv"],
+            use_flash=self.use_flash_decode,
         )
         logits = talker_lib.codec_head(talker_params, hidden[:, 0, :])
 

@@ -49,21 +49,31 @@ def _chunk_iter(
     pred_policy: SamplingPolicy,
     chunk_size: int,
     max_new_tokens: int,
+    first_chunks: Tuple[int, ...] = (),
 ):
     """Yields (frames_np [n,16], done) with 1-deep pipelining: chunk k+1 is
-    dispatched before chunk k is read."""
+    dispatched before chunk k is read.  ``first_chunks`` optionally ramps the
+    first chunk sizes up (e.g. (2, 4) before steady chunk_size) so the first
+    playable audio leaves earlier — a TTFA lever the reference's fixed
+    chunk_size doesn't have (README.md:194-205 trades TTFA vs RTF globally)."""
+    sizes = list(first_chunks) + [chunk_size]
+
+    def size_at(i):
+        return sizes[min(i, len(sizes) - 1)]
+
     tth_len_dev = jnp.int32(tth_len)
     knobs = make_knobs(policy, pred_policy)
     emitted = 0
+    i = 0
     pending = engine.decode_chunk(state, tth, tth_len_dev, tpe, policy,
-                                  pred_policy, chunk_size, knobs=knobs)
+                                  pred_policy, size_at(0), knobs=knobs)
     while True:
         state, frames, n, done = pending
-        may_continue = emitted + chunk_size < max_new_tokens
+        may_continue = emitted + size_at(i) < max_new_tokens
         if may_continue:
             # speculative dispatch: enqueued on-device before we block on k
             pending = engine.decode_chunk(state, tth, tth_len_dev, tpe, policy,
-                                          pred_policy, chunk_size, knobs=knobs)
+                                          pred_policy, size_at(i + 1), knobs=knobs)
         frames_np, n_val, done_val = jax.device_get((frames, n, done))  # 1 sync
         n_val = min(int(n_val), max_new_tokens - emitted)
         emitted += n_val
@@ -71,6 +81,7 @@ def _chunk_iter(
         yield frames_np[0, :n_val], done_val
         if done_val or not may_continue or n_val == 0:
             return
+        i += 1
 
 
 def fast_generate(
@@ -128,6 +139,7 @@ def fast_generate_streaming(
     pred_policy: SamplingPolicy = SamplingPolicy(),
     chunk_size: int = 8,
     bucketed: bool = True,
+    first_chunks: Tuple[int, ...] = (),
 ) -> Generator[Tuple[Frames, Dict], None, None]:
     """Streaming generation: yields ([chunk_steps,16], timing) every chunk.
 
@@ -145,7 +157,7 @@ def fast_generate_streaming(
     chunk_start = time.time()
     for frames_np, done in _chunk_iter(
         engine, state, tth, tth_len, tts_pad_embed, policy, pred_policy,
-        chunk_size, max_new_tokens,
+        chunk_size, max_new_tokens, first_chunks=first_chunks,
     ):
         n = frames_np.shape[0]
         if n == 0:

@@ -122,3 +122,16 @@ def test_bucket_for():
     assert bucket_for(2048) == 2048
     with pytest.raises(ValueError):
         bucket_for(4000)
+
+
+def test_first_chunks_rampup(tiny_engine, prompt_inputs, fast_ids):
+    """Ramp-up chunk schedule produces identical tokens, smaller first yields."""
+    embeds, tth, tpe = prompt_inputs
+    chunks = list(loops.fast_generate_streaming(
+        tiny_engine, embeds, tth, tpe, key=KEY, max_new_tokens=20,
+        policy=POL, pred_policy=PPOL, chunk_size=8, first_chunks=(2, 4),
+    ))
+    sizes = [c.shape[0] for c, _ in chunks]
+    assert sizes[0] == 2 and sizes[1] == 4
+    ids = np.concatenate([c for c, _ in chunks], axis=0)
+    np.testing.assert_array_equal(ids, fast_ids[0])

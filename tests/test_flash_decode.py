@@ -1,0 +1,45 @@
+"""Pallas flash-decode kernel vs pure-jnp oracle (interpret mode on CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qwen3tts_tpu.ops.flash_decode import flash_decode, flash_decode_reference
+
+
+@pytest.mark.parametrize("pos,pad", [(0, 0), (7, 0), (130, 5), (255, 31)])
+def test_matches_oracle(pos, pad):
+    S, KVH, D, NH = 256, 2, 32, 4
+    q = jax.random.normal(jax.random.PRNGKey(0), (NH, D), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (S, KVH, D), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (S, KVH, D), jnp.float32)
+    out = flash_decode(q, k, v, jnp.int32(pos), jnp.int32(pad),
+                       block_size=64, interpret=True)
+    ref = flash_decode_reference(q, k, v, pos, pad)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_sliding_window():
+    S, KVH, D, NH = 256, 2, 32, 4
+    q = jax.random.normal(jax.random.PRNGKey(0), (NH, D), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (S, KVH, D), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (S, KVH, D), jnp.float32)
+    out = flash_decode(q, k, v, jnp.int32(200), jnp.int32(0),
+                       block_size=64, sliding_window=48, interpret=True)
+    ref = flash_decode_reference(q, k, v, 200, 0, sliding_window=48)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_dynamic_trip_count_independent_of_tail():
+    """Garbage beyond pos must not affect the result (only the live prefix
+    is ever read)."""
+    S, KVH, D, NH = 256, 2, 32, 4
+    q = jax.random.normal(jax.random.PRNGKey(0), (NH, D), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (S, KVH, D), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (S, KVH, D), jnp.float32)
+    k_dirty = k.at[100:].set(jnp.nan)
+    v_dirty = v.at[100:].set(jnp.inf)
+    out = flash_decode(q, k_dirty, v_dirty, jnp.int32(63), jnp.int32(0),
+                       block_size=64, interpret=True)
+    ref = flash_decode_reference(q, k, v, 63, 0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
