@@ -22,22 +22,18 @@ def main():
     args = p.parse_args()
 
     from qwen3tts_tpu import FasterQwen3TTS
-    from qwen3tts_tpu.api.prompt import build_talker_inputs
     from qwen3tts_tpu.audio.wav import write_wav
-    from qwen3tts_tpu.models import talker as talker_lib
     from qwen3tts_tpu.runtime import loops
 
     model = FasterQwen3TTS.from_pretrained(args.model, dtype=args.dtype)
     xvec = np.load(args.embedding)["ref_spk_embedding"]
 
     input_ids = model.tokenizer.build_assistant_ids(args.text)
-    spk = talker_lib.project_speaker(
-        model.params["talker"], jnp.asarray(xvec, model.dtype))
-    embeds, trailing, tpe = build_talker_inputs(
-        model.params["talker"], model.params["predictor"], model.cfg,
+    spk = model.prompt_builder.project_speaker(xvec)
+    embeds, trailing, tpe = model._to_device(*model.prompt_builder.build(
         input_ids=input_ids, spk_embedding=spk, language=args.language,
         non_streaming_mode=True,
-    )
+    ))
 
     pol, ppol = model._policies(0.9, 50, 1.0, True, 1.05, 2)
     model._warmup(embeds.shape[1], trailing.shape[1], pol, ppol)

@@ -33,7 +33,7 @@ from ..models import talker as talker_lib
 from ..models.predictor import SamplingPolicy
 from ..runtime import loops
 from ..runtime.engine import Engine, GenerationPolicy
-from .prompt import build_talker_inputs
+from .prompt import PromptBuilder
 from .tokenizer import TextTokenizer
 
 logger = logging.getLogger(__name__)
@@ -70,6 +70,9 @@ class FasterQwen3TTS:
             params["talker"], params["predictor"], cfg, max_seq_len=max_seq_len
         )
         self.vocoder = Vocoder(params["codec"], cfg.codec)
+        # host-side prompt assembly (see prompt.py: avoids ~40 op-dispatch
+        # programs per generation on the tunneled-TPU runtime)
+        self.prompt_builder = PromptBuilder(params["talker"], params["predictor"], cfg)
         self.tokenizer = TextTokenizer(vocab_size=cfg.talker.text_vocab_size)
         self.sample_rate = _infer_sample_rate(cfg.codec, cfg)
         self._voice_prompt_cache: Dict = {}
@@ -182,20 +185,24 @@ class FasterQwen3TTS:
     # prompt prep
     # ------------------------------------------------------------------
 
+    def _to_device(self, *host_arrays):
+        """float32 host arrays → device arrays in the model dtype.  The dtype
+        cast happens on HOST (ml_dtypes) so the transfer is a pure copy — no
+        convert_element_type program on the accelerator."""
+        return tuple(
+            jnp.asarray(np.asarray(a).astype(self.dtype)) for a in host_arrays
+        )
+
     def _prepare_clone(self, text, ref_audio, ref_text, language, xvec_only,
                        non_streaming_mode, append_silence, instruct):
         input_ids = self.tokenizer.build_assistant_ids(text)
         instruct_ids = self.tokenizer.build_instruct_ids(instruct) if instruct else None
         vcp = self._voice_prompt(ref_audio, ref_text, xvec_only, append_silence)
-        spk = talker_lib.project_speaker(
-            self.params["talker"],
-            jnp.asarray(vcp["ref_spk_embedding"], self.dtype),
-        )
+        spk = self.prompt_builder.project_speaker(vcp["ref_spk_embedding"])
         ref_ids = None
         if vcp["icl_mode"] and vcp.get("ref_text"):
             ref_ids = self.tokenizer.build_ref_ids(vcp["ref_text"])
-        embeds, trailing, tpe = build_talker_inputs(
-            self.params["talker"], self.params["predictor"], self.cfg,
+        embeds, trailing, tpe = self.prompt_builder.build(
             input_ids=input_ids,
             ref_ids=ref_ids,
             spk_embedding=spk,
@@ -205,21 +212,21 @@ class FasterQwen3TTS:
             non_streaming_mode=non_streaming_mode,
             instruct_ids=instruct_ids,
         )
+        embeds, trailing, tpe = self._to_device(embeds, trailing, tpe)
         ref_codes = vcp["ref_code"] if not xvec_only else None
         return embeds, trailing, tpe, ref_codes
 
     def _prepare_custom(self, text, language, speaker, instruct):
         input_ids = self.tokenizer.build_assistant_ids(text)
         instruct_ids = self.tokenizer.build_instruct_ids(instruct) if instruct else None
-        embeds, trailing, tpe = build_talker_inputs(
-            self.params["talker"], self.params["predictor"], self.cfg,
+        embeds, trailing, tpe = self.prompt_builder.build(
             input_ids=input_ids,
             language=language,
             speaker=speaker,
             non_streaming_mode=False,
             instruct_ids=instruct_ids,
         )
-        return embeds, trailing, tpe
+        return (*self._to_device(embeds, trailing, tpe),)
 
     # ------------------------------------------------------------------
     # generation: voice clone

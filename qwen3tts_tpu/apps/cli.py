@@ -29,6 +29,11 @@ def _load_model(args):
     return model
 
 
+def _parse_first_chunks(args):
+    raw = getattr(args, "first_chunks", "") or ""
+    return tuple(int(x) for x in raw.split(",") if x.strip())
+
+
 def _gen_kwargs(args):
     return dict(
         max_new_tokens=args.max_new_tokens,
@@ -78,7 +83,9 @@ def cmd_clone(args):
     )
     if args.streaming:
         _run_streaming(
-            model.generate_voice_clone_streaming(**kw, chunk_size=args.chunk_size),
+            model.generate_voice_clone_streaming(
+                **kw, chunk_size=args.chunk_size,
+                first_chunks=_parse_first_chunks(args)),
             args.output,
         )
     else:
@@ -191,6 +198,8 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--language", default="English")
         sp.add_argument("--streaming", action="store_true")
         sp.add_argument("--chunk-size", type=int, default=8)
+        sp.add_argument("--first-chunks", default="",
+                        help="comma-separated ramp-up chunk sizes, e.g. 2,4")
         sp.add_argument("--max-new-tokens", type=int, default=2048)
         sp.add_argument("--temperature", type=float, default=0.9)
         sp.add_argument("--top-k", type=int, default=50)

@@ -58,6 +58,21 @@ class DemoState:
         self.ref_cache_dir = ASSET_DIR / "refs"
         self.ref_cache_dir.mkdir(parents=True, exist_ok=True)
         self.asr: Optional[Callable] = None  # pluggable ASR hook
+        self.presets = self._make_presets()  # reference downloads preset refs
+        # from GitHub (demo/server.py:73-98); zero-egress here => synthesize
+
+    def _make_presets(self) -> Dict[str, Path]:
+        presets = {}
+        sr = 24_000
+        for name, f0, vib in (("preset_low", 140.0, 3.0), ("preset_high", 260.0, 5.0)):
+            path = self.ref_cache_dir / f"{name}.wav"
+            if not path.exists():
+                t = np.linspace(0, 3.0, 3 * sr, dtype=np.float32)
+                wav = (0.25 * np.sin(2 * np.pi * f0 * t)
+                       * (0.7 + 0.3 * np.sin(2 * np.pi * vib * t))).astype(np.float32)
+                write_wav(path, wav, sr)
+            presets[name] = path
+        return presets
 
     # -- LRU model cache (reference demo/server.py:160-161,308-310) ----
     def get_model(self, name: str):
@@ -98,6 +113,7 @@ class DemoState:
             "loading": self.loading,
             "queue_depth": self.waiters,
             "speakers": speakers,
+            "preset_refs": sorted(self.presets),
             "max_text_chars": MAX_TEXT_CHARS,
         }
 
@@ -131,6 +147,12 @@ def make_handler(state: DemoState, index_html: Path):
                 self._send(200, index_html.read_bytes(), "text/html; charset=utf-8")
             elif self.path == "/status":
                 self._json(state.status())
+            elif self.path.startswith("/preset_ref/"):
+                name = self.path.rsplit("/", 1)[1]
+                if name in state.presets:
+                    self._send(200, state.presets[name].read_bytes(), "audio/wav")
+                else:
+                    self._json({"error": f"unknown preset {name}"}, 404)
             else:
                 self._json({"error": "not found"}, 404)
 
@@ -181,7 +203,12 @@ def make_handler(state: DemoState, index_html: Path):
             if len(text) > MAX_TEXT_CHARS:
                 raise ValueError(f"text too long (max {MAX_TEXT_CHARS} chars)")
             ref_path = None
-            if req.get("ref_audio_b64"):
+            if req.get("preset_ref"):
+                name = req["preset_ref"]
+                if name not in state.presets:
+                    raise ValueError(f"unknown preset {name}")
+                ref_path = str(state.presets[name])
+            elif req.get("ref_audio_b64"):
                 data = base64.b64decode(req["ref_audio_b64"])
                 if len(data) > MAX_AUDIO_BYTES:
                     raise ValueError("ref audio too large")
@@ -211,6 +238,7 @@ def make_handler(state: DemoState, index_html: Path):
                         ref_audio=ref_path, ref_text=req.get("ref_text", ""),
                         chunk_size=chunk_size, max_new_tokens=max_new,
                         xvec_only=bool(req.get("xvec_only", True)),
+                        first_chunks=(2, 4),
                     )
                 if mode == "custom":
                     return model.generate_custom_voice_streaming(

@@ -156,6 +156,7 @@ def make_handler(state: TTSState):
                         ref_text=voice.get("ref_text", ""),
                         chunk_size=state.chunk_size,
                         max_new_tokens=max_new,
+                        first_chunks=(2, 4),  # cut TTFA: bytes flow sooner
                     ):
                         self._write_chunk(to_pcm16(audio))
                 self._end_chunked()

@@ -126,6 +126,9 @@ _register(
     "qwen3-tts-1.7b-design",
     TTSModelConfig(model_type="voice_design", model_size="1.7b", talker=_talker_17b(), predictor=_predictor(2048)),
 )
+# tiny presets: tts control-token ids must live inside the small text vocab
+_TINY_TTS_IDS = dict(tts_pad_token_id=505, tts_bos_token_id=506, tts_eos_token_id=507)
+
 _register(
     "tiny",
     TTSModelConfig(
@@ -136,6 +139,7 @@ _register(
         codec=_tiny_codec(),
         speaker_encoder=_tiny_speaker(),
         dtype="float32",
+        **_TINY_TTS_IDS,
     ),
 )
 _register(
@@ -148,6 +152,7 @@ _register(
         codec=_tiny_codec(),
         speaker_encoder=_tiny_speaker(),
         dtype="float32",
+        **_TINY_TTS_IDS,
     ),
 )
 _register(
@@ -160,6 +165,7 @@ _register(
         codec=_tiny_codec(),
         speaker_encoder=_tiny_speaker(),
         dtype="float32",
+        **_TINY_TTS_IDS,
     ),
 )
 

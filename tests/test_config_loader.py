@@ -19,6 +19,8 @@ def test_presets_consistent():
         assert sum(cfg.talker.mrope_section) == cfg.talker.head_dim // 2
         assert cfg.predictor.num_codebooks == 15
         assert cfg.predictor.max_seq == 17  # reference predictor_graph.py:46
+        for tid in (cfg.tts_bos_token_id, cfg.tts_eos_token_id, cfg.tts_pad_token_id):
+            assert 0 <= tid < cfg.talker.text_vocab_size, (name, tid)
 
 
 def test_codec_upsample_validation():
