@@ -78,8 +78,12 @@ def _chunk_iter(
         n_val = min(int(n_val), max_new_tokens - emitted)
         emitted += n_val
         done_val = bool(done_val) or emitted >= max_new_tokens
+        finished = done_val or not may_continue or n_val == 0
+        if finished:
+            # recycle the final KV buffer (from the last dispatched chunk)
+            engine.release(pending[0] if may_continue else state)
         yield frames_np[0, :n_val], done_val
-        if done_val or not may_continue or n_val == 0:
+        if finished:
             return
         i += 1
 
