@@ -16,6 +16,7 @@ Key differences (all TPU-native design, documented per method):
 from __future__ import annotations
 
 import logging
+import os
 import time
 from pathlib import Path
 from typing import Dict, Generator, Optional, Tuple, Union
@@ -297,11 +298,14 @@ class FasterQwen3TTS:
         if not parity_mode:
             self._warmup(embeds.shape[1], trailing.shape[1], pol, ppol)
         gen = loops.parity_generate if parity_mode else loops.fast_generate
-        codec_ids, timing = gen(
-            self.engine, embeds, trailing, tpe,
-            key=self._next_key(), max_new_tokens=max_new_tokens,
-            policy=pol, pred_policy=ppol,
-        )
+        from ..utils.timing import device_trace
+
+        with device_trace(os.environ.get("QWEN3TTS_PROFILE_DIR")):
+            codec_ids, timing = gen(
+                self.engine, embeds, trailing, tpe,
+                key=self._next_key(), max_new_tokens=max_new_tokens,
+                policy=pol, pred_policy=ppol,
+            )
         return self._finish_audio(codec_ids, ref_codes, timing)
 
     def generate_voice_clone_streaming(

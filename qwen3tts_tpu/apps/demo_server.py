@@ -41,6 +41,14 @@ ASSET_DIR = Path(os.environ.get("ASSET_DIR", "/tmp/qwen3tts_demo"))
 DEFAULT_MODELS = ["random:tiny", "random:qwen3-tts-0.6b", "random:qwen3-tts-1.7b"]
 
 
+def _safe_memory_stats():
+    try:
+        from ..utils.timing import device_memory_stats
+        return device_memory_stats()
+    except Exception:
+        return {}
+
+
 def _wav_bytes(audio: np.ndarray, sr: int) -> bytes:
     return wav_header(sr, data_size=len(audio) * 2) + to_pcm16(audio)
 
@@ -115,6 +123,7 @@ class DemoState:
             "speakers": speakers,
             "preset_refs": sorted(self.presets),
             "max_text_chars": MAX_TEXT_CHARS,
+            "device_memory": _safe_memory_stats(),
         }
 
 

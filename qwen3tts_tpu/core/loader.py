@@ -196,16 +196,21 @@ _BLOCK_KEY = {
 }
 
 
-def convert_torch_tree(named_tensors: Dict[str, np.ndarray], num_layers: int) -> Dict[str, Any]:
-    """Stack upstream per-layer talker tensors into the layer-stacked layout.
+def convert_torch_tree(named_tensors: Dict[str, np.ndarray], num_layers: int,
+                       prefix: str = "talker.model") -> Dict[str, Any]:
+    """Stack upstream per-layer decoder tensors into the layer-stacked layout.
 
     Linear weights are transposed (torch stores [out,in]; we use [in,out]).
-    Only the talker block-stack is handled here; embedding/head tensors map
-    1:1 by name and are left to the caller.
     """
+    layer_re = re.compile(
+        re.escape(prefix)
+        + r"\.layers\.(\d+)\.(self_attn\.(?:q|k|v|o)_proj\.weight|"
+        r"self_attn\.(?:q|k)_norm\.weight|input_layernorm\.weight|"
+        r"post_attention_layernorm\.weight|mlp\.(?:gate|up|down)_proj\.weight)"
+    )
     per_layer: Dict[str, list] = {v: [None] * num_layers for v in _BLOCK_KEY.values()}
     for name, tensor in named_tensors.items():
-        m = _TORCH_LAYER_RE.fullmatch(name)
+        m = layer_re.fullmatch(name)
         if not m:
             continue
         li = int(m.group(1))
@@ -215,3 +220,102 @@ def convert_torch_tree(named_tensors: Dict[str, np.ndarray], num_layers: int) ->
             t = t.T
         per_layer[key][li] = t
     return {k: np.stack(v) for k, v in per_layer.items() if all(x is not None for x in v)}
+
+
+# name → (our path, transpose?) for the non-layer tensors
+_TALKER_TOP = {
+    "talker.model.codec_embedding.weight": ("codec_embedding", False),
+    "talker.model.text_embedding.weight": ("text_embedding", False),
+    "talker.text_projection.weight": ("text_projection/w", True),
+    "talker.text_projection.bias": ("text_projection/b", False),
+    "talker.model.norm.weight": ("final_norm", False),
+    "talker.codec_head.weight": ("codec_head", True),
+    "talker.spk_proj.weight": ("spk_proj/w", True),
+    "talker.spk_proj.bias": ("spk_proj/b", False),
+}
+_PRED_TOP = {
+    "talker.code_predictor.small_to_mtp_projection.weight": ("small_to_mtp/w", True),
+    "talker.code_predictor.small_to_mtp_projection.bias": ("small_to_mtp/b", False),
+    "talker.code_predictor.model.norm.weight": ("final_norm", False),
+}
+
+
+def convert_torch_checkpoint(
+    named_tensors: Dict[str, np.ndarray], cfg: TTSModelConfig
+) -> Dict[str, Any]:
+    """Best-effort conversion of an upstream torch-layout state dict into the
+    {'talker', 'predictor'} halves of a bundle (SURVEY.md §2.2 surface:
+    per-codebook ModuleLists become stacked arrays; per-layer decoder tensors
+    become lax.scan-ready [L, ...] stacks).  The codec / speaker-encoder
+    halves use architectures the upstream does not expose in the reference
+    repo and must be converted separately once their checkpoints exist."""
+    talker: Dict[str, Any] = {
+        "blocks": convert_torch_tree(named_tensors, cfg.talker.num_hidden_layers,
+                                     "talker.model"),
+    }
+    predictor: Dict[str, Any] = {
+        "blocks": convert_torch_tree(named_tensors, cfg.predictor.num_hidden_layers,
+                                     "talker.code_predictor.model"),
+    }
+    flat_t: Dict[str, np.ndarray] = {}
+    flat_p: Dict[str, np.ndarray] = {}
+    for name, tensor in named_tensors.items():
+        t = np.asarray(tensor)
+        if name in _TALKER_TOP:
+            path, transpose = _TALKER_TOP[name]
+            flat_t[path] = t.T if transpose else t
+        elif name in _PRED_TOP:
+            path, transpose = _PRED_TOP[name]
+            flat_p[path] = t.T if transpose else t
+
+    # per-codebook ModuleLists → stacked arrays
+    nc = cfg.predictor.num_codebooks
+    heads = [named_tensors.get(f"talker.code_predictor.lm_head.{i}.weight")
+             for i in range(nc)]
+    if all(h is not None for h in heads):
+        flat_p["lm_heads"] = np.stack([np.asarray(h).T for h in heads])
+    embeds = [named_tensors.get(
+        f"talker.code_predictor.model.codec_embedding.{i}.weight")
+        for i in range(nc)]
+    if all(e is not None for e in embeds):
+        flat_p["codec_embeddings"] = np.stack([np.asarray(e) for e in embeds])
+
+    talker.update(unflatten(flat_t))
+    predictor.update(unflatten(flat_p))
+    return {"talker": talker, "predictor": predictor}
+
+
+def export_torch_layout(bundle: Dict[str, Any], cfg: TTSModelConfig) -> Dict[str, np.ndarray]:
+    """Inverse of convert_torch_checkpoint (talker+predictor halves) — used by
+    the round-trip test and for interop with torch tooling."""
+    out: Dict[str, np.ndarray] = {}
+
+    def put_blocks(blocks, prefix):
+        inv = {v: k for k, v in _BLOCK_KEY.items()}
+        L = blocks["q_proj"].shape[0]
+        for our, torch_key in inv.items():
+            arr = np.asarray(blocks[our])
+            for li in range(L):
+                t = arr[li]
+                if our.endswith("_proj"):
+                    t = t.T
+                out[f"{prefix}.layers.{li}.{torch_key}"] = t
+
+    put_blocks(bundle["talker"]["blocks"], "talker.model")
+    put_blocks(bundle["predictor"]["blocks"], "talker.code_predictor.model")
+    for name, (path, transpose) in _TALKER_TOP.items():
+        leaf = bundle["talker"]
+        for part in path.split("/"):
+            leaf = leaf[part]
+        out[name] = np.asarray(leaf).T if transpose else np.asarray(leaf)
+    for name, (path, transpose) in _PRED_TOP.items():
+        leaf = bundle["predictor"]
+        for part in path.split("/"):
+            leaf = leaf[part]
+        out[name] = np.asarray(leaf).T if transpose else np.asarray(leaf)
+    lm = np.asarray(bundle["predictor"]["lm_heads"])
+    ce = np.asarray(bundle["predictor"]["codec_embeddings"])
+    for i in range(lm.shape[0]):
+        out[f"talker.code_predictor.lm_head.{i}.weight"] = lm[i].T
+        out[f"talker.code_predictor.model.codec_embedding.{i}.weight"] = ce[i]
+    return out

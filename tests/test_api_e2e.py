@@ -76,3 +76,18 @@ def test_voice_design_guard_and_run():
 def test_base_model_rejects_custom(tiny_tts):
     with pytest.raises(ValueError):
         tiny_tts.generate_custom_voice("x", "vivian", "English")
+
+
+def test_longform_split_and_generate(tiny_tts, ref_wav):
+    from qwen3tts_tpu.api.longform import generate_longform, split_sentences
+
+    groups = split_sentences("One. Two! Three? " + "x" * 500 + ". Tail", max_chars=100)
+    assert all(len(g) <= 101 for g in groups)
+    assert len(groups) >= 6
+
+    wav, sr = generate_longform(
+        tiny_tts, "First sentence. Second sentence.", "English", ref_wav, "r",
+        max_chars=20, max_new_tokens=4, gap_ms=50)
+    assert sr == 24_000
+    # two segments + one gap
+    assert len(wav) >= 2 * 4 * 2000 + int(0.05 * sr)

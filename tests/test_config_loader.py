@@ -77,3 +77,22 @@ def test_load_pretrained_missing_path_errors():
         load_pretrained("/nonexistent/model")
     with pytest.raises(KeyError):
         load_pretrained("random:nope")
+
+
+def test_torch_layout_roundtrip(tiny_cfg):
+    """export_torch_layout ∘ convert_torch_checkpoint == identity on the
+    talker+predictor halves (validates the upstream-name mapping)."""
+    import jax
+
+    from qwen3tts_tpu.core.loader import (convert_torch_checkpoint,
+                                          export_torch_layout, init_random)
+
+    bundle = init_random(tiny_cfg, seed=11)
+    sub = {"talker": jax.tree.map(np.asarray, bundle["talker"]),
+           "predictor": jax.tree.map(np.asarray, bundle["predictor"])}
+    torch_style = export_torch_layout(sub, tiny_cfg)
+    back = convert_torch_checkpoint(torch_style, tiny_cfg)
+    a, b = flatten(sub), flatten(back)
+    assert set(a) == set(b), set(a) ^ set(b)
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
