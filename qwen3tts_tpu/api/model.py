@@ -91,16 +91,27 @@ class FasterQwen3TTS:
         dtype: Union[str, jnp.dtype, None] = None,
         max_seq_len: int = 2048,
         seed: int = 0,
+        quantize: Optional[str] = None,
     ) -> "FasterQwen3TTS":
         """Load weights ('random:<preset>' or checkpoint dir) and build the
         runtime.  Compilation is deferred to the first generation (reference
-        defers CUDA-graph capture the same way, model.py:143,280-281)."""
+        defers CUDA-graph capture the same way, model.py:143,280-281).
+
+        quantize="int8": store the talker/predictor projection matrices as
+        int8 with per-channel scales — halves decode weight bandwidth."""
         if isinstance(dtype, str):
             dtype = {"bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
                      "float32": jnp.float32, "fp32": jnp.float32,
                      "float16": jnp.float16, "fp16": jnp.float16}[dtype]
         cfg, params = load_pretrained(model_name, dtype=dtype, seed=seed)
-        logger.info("Loaded %s (%s, %s)", model_name, cfg.model_type, cfg.dtype)
+        if quantize == "int8":
+            from ..ops.quant import quantize_bundle
+
+            params = quantize_bundle(params)
+        elif quantize:
+            raise ValueError(f"unknown quantize mode '{quantize}' (use 'int8')")
+        logger.info("Loaded %s (%s, %s%s)", model_name, cfg.model_type, cfg.dtype,
+                    f", {quantize}" if quantize else "")
         return cls(cfg, params, max_seq_len=max_seq_len, seed=seed)
 
     # ------------------------------------------------------------------

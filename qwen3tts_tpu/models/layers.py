@@ -19,6 +19,7 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from ..ops.quant import maybe_matmul
 from ..ops.rope import apply_rope
 
 
@@ -134,9 +135,9 @@ def block_forward(
     eps = spec.rms_norm_eps
 
     h = rms_norm(x, p["input_norm"], eps)
-    q = (h @ p["q_proj"]).reshape(B, Tq, spec.num_heads, spec.head_dim)
-    k = (h @ p["k_proj"]).reshape(B, Tq, spec.num_kv_heads, spec.head_dim)
-    v = (h @ p["v_proj"]).reshape(B, Tq, spec.num_kv_heads, spec.head_dim)
+    q = maybe_matmul(h, p["q_proj"]).reshape(B, Tq, spec.num_heads, spec.head_dim)
+    k = maybe_matmul(h, p["k_proj"]).reshape(B, Tq, spec.num_kv_heads, spec.head_dim)
+    v = maybe_matmul(h, p["v_proj"]).reshape(B, Tq, spec.num_kv_heads, spec.head_dim)
     q = rms_norm(q, p["q_norm"], eps)
     k = rms_norm(k, p["k_norm"], eps)
     q, k = apply_rope(q, k, cos, sin)  # rope in f32 for precision...
@@ -158,10 +159,13 @@ def block_forward(
     else:
         attn = _attn_core(q, k_cache, v_cache, mask,
                           spec.num_heads // spec.num_kv_heads)
-    x = x + attn.reshape(B, Tq, spec.q_dim) @ p["o_proj"]
+    x = x + maybe_matmul(attn.reshape(B, Tq, spec.q_dim), p["o_proj"])
 
     h = rms_norm(x, p["post_norm"], eps)
-    x = x + (jax.nn.silu(h @ p["gate_proj"]) * (h @ p["up_proj"])) @ p["down_proj"]
+    x = x + maybe_matmul(
+        jax.nn.silu(maybe_matmul(h, p["gate_proj"])) * maybe_matmul(h, p["up_proj"]),
+        p["down_proj"],
+    )
     return x, k_cache, v_cache
 
 

@@ -116,7 +116,7 @@ class Engine:
         *,
         max_seq_len: int = 2048,
         batch: int = 1,
-        use_flash_decode: bool = False,
+        use_flash_decode: Optional[bool] = None,
     ):
         self.cfg = cfg
         self.talker_cfg = cfg.talker
@@ -127,6 +127,14 @@ class Engine:
         self.batch = batch
         self.dtype = cfg.jnp_dtype
         self.eos_id = cfg.talker.codec_eos_token_id
+        if use_flash_decode is None:
+            # auto: the Pallas flash-decode kernel wins ~6% end-to-end on TPU
+            # (reads only the live KV prefix); CPU runs it interpreted (slow),
+            # so default off there
+            use_flash_decode = (
+                jax.default_backend() not in ("cpu",)
+                and cfg.talker.sliding_window is None
+            )
         self.use_flash_decode = use_flash_decode
         self._suppress = jnp.asarray(
             build_suppress_mask(cfg.talker.vocab_size, self.eos_id)

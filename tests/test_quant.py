@@ -1,0 +1,57 @@
+"""Int8 weight-only quantization tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qwen3tts_tpu.ops.quant import (
+    dequant_matmul, is_quantized, maybe_matmul, quantize_bundle, quantize_tensor,
+)
+
+
+def test_quantize_tensor_accuracy():
+    w = jax.random.normal(jax.random.PRNGKey(0), (4, 64, 32)) * 0.1
+    qw = quantize_tensor(w)
+    assert qw["q"].dtype == jnp.int8
+    deq = qw["q"].astype(jnp.float32) * qw["scale"]
+    rel = float(jnp.abs(deq - w).max() / jnp.abs(w).max())
+    assert rel < 0.01  # int8 per-channel: <1% of max
+
+
+def test_dequant_matmul_close():
+    w = jax.random.normal(jax.random.PRNGKey(0), (64, 32)) * 0.05
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, 64))
+    exact = x @ w
+    approx = dequant_matmul(x, quantize_tensor(w))
+    err = float(jnp.abs(exact - approx).max())
+    assert err < 0.05 * float(jnp.abs(exact).max()) + 1e-3
+
+
+def test_maybe_matmul_passthrough():
+    w = jnp.ones((4, 4))
+    x = jnp.ones((2, 4))
+    np.testing.assert_allclose(np.asarray(maybe_matmul(x, w)),
+                               np.asarray(x @ w))
+    assert is_quantized(quantize_tensor(w))
+    assert not is_quantized(w)
+
+
+def test_quantized_bundle_generates(tiny_cfg, ref_wav):
+    from qwen3tts_tpu import FasterQwen3TTS
+
+    m = FasterQwen3TTS.from_pretrained("random:tiny", quantize="int8")
+    blocks = m.params["talker"]["blocks"]
+    assert is_quantized(blocks["q_proj"])
+    assert not is_quantized(blocks["input_norm"])
+    audio_list, sr = m.generate_voice_clone(
+        "Quantized.", "English", ref_wav, "r", max_new_tokens=6)
+    assert len(audio_list[0]) % 2000 == 0
+    assert np.isfinite(audio_list[0]).all()
+
+
+def test_unknown_quantize_mode_errors():
+    import pytest
+
+    from qwen3tts_tpu import FasterQwen3TTS
+
+    with pytest.raises(ValueError, match="quantize"):
+        FasterQwen3TTS.from_pretrained("random:tiny", quantize="fp4")
