@@ -75,10 +75,10 @@ def main():
     # reference's methodology, which excludes the final vocoder decode)
     best_stream = None
     ttfa_ms = None
-    for _ in range(2):
+    prefill_ms = 0.0
+    for _ in range(3):
         t0 = time.time()
         first = None
-        prefill_ms = 0.0
         total_steps = 0
         for audio, _, timing in model.generate_voice_clone_streaming(
                 **kwargs, chunk_size=CHUNK):
@@ -88,9 +88,24 @@ def main():
             total_steps = timing["total_steps_so_far"]
         stream_wall = time.time() - t0
         r = (total_steps / 12.0) / stream_wall
-        if best_stream is None or r > best_stream:
-            best_stream, ttfa_ms = r, first
+        best_stream = r if best_stream is None else max(best_stream, r)
+        ttfa_ms = first if ttfa_ms is None else min(ttfa_ms, first)
     rtf_stream_e2e = best_stream
+
+    # TTFA with first-chunk ramp-up (2,4) — the serving configuration
+    # (throwaway run first: compiles the size-2/4 chunk executables)
+    list(model.generate_voice_clone_streaming(
+        **{**kwargs, "max_new_tokens": 8, "min_new_tokens": 8},
+        chunk_size=CHUNK, first_chunks=(2, 4)))
+    ttfa_ramp = None
+    for _ in range(2):
+        t0 = time.time()
+        for audio, _, timing in model.generate_voice_clone_streaming(
+                **{**kwargs, "max_new_tokens": 24, "min_new_tokens": 24},
+                chunk_size=CHUNK, first_chunks=(2, 4)):
+            t = (time.time() - t0) * 1000
+            ttfa_ramp = t if ttfa_ramp is None else min(ttfa_ramp, t)
+            break
 
     headline = max(rtf_e2e, rtf_stream_e2e)
     details = {
@@ -99,6 +114,7 @@ def main():
         "rtf_e2e_nonstreaming": round(rtf_e2e, 3),
         "rtf_e2e_streaming": round(rtf_stream_e2e, 3),
         "ttfa_ms_chunk8": round(ttfa_ms, 1),
+        "ttfa_ms_rampup_2_4": round(ttfa_ramp, 1) if ttfa_ramp else None,
         "prefill_ms": round(prefill_ms, 1),
         "ms_per_step_nonstreaming": round(min(ms_steps), 2),
         "steps": STEPS,

@@ -201,8 +201,10 @@ class FasterQwen3TTS:
         """float32 host arrays → device arrays in the model dtype.  The dtype
         cast happens on HOST (ml_dtypes) so the transfer is a pure copy — no
         convert_element_type program on the accelerator."""
+        from ..ops.initrand import fast_astype
+
         return tuple(
-            jnp.asarray(np.asarray(a).astype(self.dtype)) for a in host_arrays
+            jnp.asarray(fast_astype(np.asarray(a), self.dtype)) for a in host_arrays
         )
 
     def _prepare_clone(self, text, ref_audio, ref_text, language, xvec_only,

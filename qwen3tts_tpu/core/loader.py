@@ -13,6 +13,7 @@ HF hub; here weights are local-only — zero-egress environment):
 """
 from __future__ import annotations
 
+import functools
 import json
 import logging
 import re
@@ -99,11 +100,18 @@ def load_checkpoint(path: str | Path, dtype=None) -> Tuple[TTSModelConfig, Dict[
     flat = load_file(str(path / "model.safetensors"))
     bundle = unflatten(dict(flat))
     target = dtype or cfg.jnp_dtype
+    # dtype-cast on HOST, then ONE batched tree transfer (per-leaf transfers
+    # each pay a full round trip on tunneled runtimes)
+    from ..ops.initrand import fast_astype
+
     bundle = jax.tree.map(
-        lambda x: jnp.asarray(x, target) if np.issubdtype(np.asarray(x).dtype, np.floating) else jnp.asarray(x),
+        lambda x: fast_astype(np.asarray(x), target)
+        if np.issubdtype(np.asarray(x).dtype, np.floating) else x,
         bundle,
     )
-    return cfg, bundle
+    from .packed_transfer import device_put_tree
+
+    return cfg, device_put_tree(bundle)
 
 
 def _cfg_from_canonical(raw: Dict[str, Any]) -> TTSModelConfig:
@@ -141,16 +149,29 @@ def init_random(cfg: TTSModelConfig, seed: int = 0, dtype=None) -> Dict[str, Any
     from ..models import talker as talker_lib
 
     target = dtype or cfg.jnp_dtype
-    key = jax.random.PRNGKey(seed)
-    k = jax.random.split(key, 4)
-    talker = jax.jit(talker_lib.init_params, static_argnums=(1, 2))(k[0], cfg.talker, target)
-    predictor = jax.jit(predictor_lib.init_params, static_argnums=(1, 2, 3))(
-        k[1], cfg.predictor, cfg.talker.hidden_size, target
-    )
-    # codec + speaker run in f32 for waveform fidelity regardless of model dtype
-    codec = jax.jit(codec_lib.init_params, static_argnums=(1, 2))(k[2], cfg.codec, jnp.float32)
-    speaker = jax.jit(speaker_lib.init_params, static_argnums=(1, 2))(k[3], cfg.speaker_encoder, jnp.float32)
-    return {"talker": talker, "predictor": predictor, "codec": codec, "speaker": speaker}
+
+    # ONE jitted program initializes the whole bundle ON DEVICE: this host has
+    # a single starved CPU core (host-side generation takes minutes) and every
+    # separate device program costs seconds of dispatch latency; the compiled
+    # init executable is persistently cached per (cfg, dtype).
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def _init_bundle(key, target_name):
+        t = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+             "float16": jnp.float16}[target_name]
+        k = jax.random.split(key, 4)
+        return {
+            "talker": talker_lib.init_params(k[0], cfg.talker, t),
+            "predictor": predictor_lib.init_params(
+                k[1], cfg.predictor, cfg.talker.hidden_size, t),
+            # codec + speaker stay f32 for waveform fidelity
+            "codec": codec_lib.init_params(k[2], cfg.codec, jnp.float32),
+            "speaker": speaker_lib.init_params(k[3], cfg.speaker_encoder,
+                                               jnp.float32),
+        }
+
+    name = {jnp.bfloat16: "bfloat16", jnp.float32: "float32",
+            jnp.float16: "float16"}[jnp.dtype(target).type if not isinstance(target, str) else jnp.dtype(target).type]
+    return _init_bundle(jax.random.PRNGKey(seed), name)
 
 
 def load_pretrained(model_name: str, dtype=None, seed: int = 0) -> Tuple[TTSModelConfig, Dict[str, Any]]:
@@ -219,7 +240,18 @@ def convert_torch_tree(named_tensors: Dict[str, np.ndarray], num_layers: int,
         if key.endswith("_proj"):
             t = t.T
         per_layer[key][li] = t
-    return {k: np.stack(v) for k, v in per_layer.items() if all(x is not None for x in v)}
+    stacked = {k: np.stack(v) for k, v in per_layer.items()
+               if all(x is not None for x in v)}
+    # checkpoints keep the upstream unfused names; the runtime uses fused
+    # qkv/gateup matmuls (models/layers.py)
+    if {"q_proj", "k_proj", "v_proj"} <= set(stacked):
+        stacked["qkv_proj"] = np.concatenate(
+            [stacked.pop("q_proj"), stacked.pop("k_proj"), stacked.pop("v_proj")],
+            axis=-1)
+    if {"gate_proj", "up_proj"} <= set(stacked):
+        stacked["gateup_proj"] = np.concatenate(
+            [stacked.pop("gate_proj"), stacked.pop("up_proj")], axis=-1)
+    return stacked
 
 
 # name → (our path, transpose?) for the non-layer tensors
@@ -290,19 +322,32 @@ def export_torch_layout(bundle: Dict[str, Any], cfg: TTSModelConfig) -> Dict[str
     the round-trip test and for interop with torch tooling."""
     out: Dict[str, np.ndarray] = {}
 
-    def put_blocks(blocks, prefix):
+    def put_blocks(blocks, prefix, q_dim, kv_dim, inter):
         inv = {v: k for k, v in _BLOCK_KEY.items()}
-        L = blocks["q_proj"].shape[0]
+        qkv = np.asarray(blocks["qkv_proj"])
+        gu = np.asarray(blocks["gateup_proj"])
+        unfused = dict(blocks)
+        unfused["q_proj"] = qkv[..., :q_dim]
+        unfused["k_proj"] = qkv[..., q_dim : q_dim + kv_dim]
+        unfused["v_proj"] = qkv[..., q_dim + kv_dim :]
+        unfused["gate_proj"] = gu[..., :inter]
+        unfused["up_proj"] = gu[..., inter:]
+        L = qkv.shape[0]
         for our, torch_key in inv.items():
-            arr = np.asarray(blocks[our])
+            arr = np.asarray(unfused[our])
             for li in range(L):
                 t = arr[li]
                 if our.endswith("_proj"):
                     t = t.T
                 out[f"{prefix}.layers.{li}.{torch_key}"] = t
 
-    put_blocks(bundle["talker"]["blocks"], "talker.model")
-    put_blocks(bundle["predictor"]["blocks"], "talker.code_predictor.model")
+    tk, pd = cfg.talker, cfg.predictor
+    put_blocks(bundle["talker"]["blocks"], "talker.model",
+               tk.num_attention_heads * tk.head_dim,
+               tk.num_key_value_heads * tk.head_dim, tk.intermediate_size)
+    put_blocks(bundle["predictor"]["blocks"], "talker.code_predictor.model",
+               pd.num_attention_heads * pd.head_dim,
+               pd.num_key_value_heads * pd.head_dim, pd.intermediate_size)
     for name, (path, transpose) in _TALKER_TOP.items():
         leaf = bundle["talker"]
         for part in path.split("/"):

@@ -27,6 +27,19 @@ import jax
 import jax.numpy as jnp
 
 from ..core.config import CodecConfig
+from ..ops.initrand import normal as _init_normal
+
+def _npz(shape, dtype):
+    return jnp.zeros(shape, dtype)
+
+
+def _npo(shape, dtype):
+    return jnp.ones(shape, dtype)
+
+
+def _npf(shape, val, dtype):
+    return jnp.full(shape, val, dtype)
+
 from ..ops.rope import mrope_cos_sin, apply_rope
 
 Params = Dict
@@ -95,24 +108,24 @@ def rms_norm(x, w, eps):
 
 
 def _conv_init(key, K, cin, cout, dtype):
-    w = jax.random.normal(key, (K, cin, cout), jnp.float32) * ((K * cin) ** -0.5)
-    return {"w": w.astype(dtype), "b": jnp.zeros((cout,), dtype)}
+    return {"w": _init_normal(key, (K, cin, cout), (K * cin) ** -0.5, dtype),
+            "b": _npz((cout,), dtype)}
 
 
 def _lin_init(key, cin, cout, dtype):
-    w = jax.random.normal(key, (cin, cout), jnp.float32) * (cin**-0.5)
-    return {"w": w.astype(dtype), "b": jnp.zeros((cout,), dtype)}
+    return {"w": _init_normal(key, (cin, cout), cin**-0.5, dtype),
+            "b": _npz((cout,), dtype)}
 
 
 def _convnext_init(key, dim, dtype):
     k = jax.random.split(key, 3)
     return {
         "dw": _conv_init(k[0], 7, 1, dim, dtype),  # depthwise: feature_group_count
-        "norm_w": jnp.ones((dim,), dtype),
-        "norm_b": jnp.zeros((dim,), dtype),
+        "norm_w": _npo((dim,), dtype),
+        "norm_b": _npz((dim,), dtype),
         "pw1": _lin_init(k[1], dim, 4 * dim, dtype),
         "pw2": _lin_init(k[2], 4 * dim, dim, dtype),
-        "scale": jnp.full((dim,), 0.01, dtype),
+        "scale": _npf((dim,), 0.01, dtype),
     }
 
 
@@ -136,9 +149,9 @@ def _convnext_forward(p, x):
 def _resunit_init(key, dim, dtype):
     k = jax.random.split(key, 2)
     return {
-        "alpha1": jnp.zeros((dim,), dtype), "beta1": jnp.zeros((dim,), dtype),
+        "alpha1": _npz((dim,), dtype), "beta1": _npz((dim,), dtype),
         "conv1": _conv_init(k[0], 7, dim, dim, dtype),
-        "alpha2": jnp.zeros((dim,), dtype), "beta2": jnp.zeros((dim,), dtype),
+        "alpha2": _npz((dim,), dtype), "beta2": _npz((dim,), dtype),
         "conv2": _conv_init(k[1], 1, dim, dim, dtype),
     }
 
@@ -162,17 +175,17 @@ def _xf_layer_init(key, cfg: CodecConfig, dtype):
     NH, KVH = cfg.num_attention_heads, cfg.num_key_value_heads
     k = jax.random.split(key, 7)
     return {
-        "ln1": jnp.ones((H,), dtype),
+        "ln1": _npo((H,), dtype),
         "q": _lin_init(k[0], H, NH * D, dtype),
         "k": _lin_init(k[1], H, KVH * D, dtype),
         "v": _lin_init(k[2], H, KVH * D, dtype),
         "o": _lin_init(k[3], NH * D, H, dtype),
-        "scale1": jnp.full((H,), cfg.layer_scale_initial_scale, dtype),
-        "ln2": jnp.ones((H,), dtype),
+        "scale1": _npf((H,), cfg.layer_scale_initial_scale, dtype),
+        "ln2": _npo((H,), dtype),
         "up": _lin_init(k[4], H, I, dtype),
         "gate": _lin_init(k[5], H, I, dtype),
         "down": _lin_init(k[6], I, H, dtype),
-        "scale2": jnp.full((H,), cfg.layer_scale_initial_scale, dtype),
+        "scale2": _npf((H,), cfg.layer_scale_initial_scale, dtype),
     }
 
 
@@ -229,8 +242,8 @@ def init_params(key: jax.Array, cfg: CodecConfig, dtype=jnp.float32) -> Params:
 
     # --- decoder ---
     dec: Dict = {
-        "code_embedding": (jax.random.normal(keys[next(ki)],
-            (cfg.codebook_size * cfg.num_quantizers, H), jnp.float32) * 0.02).astype(dtype),
+        "code_embedding": _init_normal(
+            keys[next(ki)], (cfg.codebook_size * cfg.num_quantizers, H), 0.02, dtype),
         "pre_transformer": [
             _xf_layer_init(keys[next(ki)], cfg, dtype) for _ in range(cfg.num_hidden_layers)
         ],
@@ -249,7 +262,7 @@ def init_params(key: jax.Array, cfg: CodecConfig, dtype=jnp.float32) -> Params:
     for i, rate in enumerate(cfg.upsample_rates):
         out_dim = dim // 2
         blk = {
-            "alpha": jnp.zeros((dim,), dtype), "beta": jnp.zeros((dim,), dtype),
+            "alpha": _npz((dim,), dtype), "beta": _npz((dim,), dtype),
             "tconv": _conv_init(keys[next(ki)], 2 * rate, dim, out_dim, dtype),
             "units": [
                 _resunit_init(keys[next(ki)], out_dim, dtype) for d in (1, 3, 9)
@@ -257,8 +270,8 @@ def init_params(key: jax.Array, cfg: CodecConfig, dtype=jnp.float32) -> Params:
         }
         dec["blocks"].append(blk)
         dim = out_dim
-    dec["out_alpha"] = jnp.zeros((dim,), dtype)
-    dec["out_beta"] = jnp.zeros((dim,), dtype)
+    dec["out_alpha"] = _npz((dim,), dtype)
+    dec["out_beta"] = _npz((dim,), dtype)
     dec["dec_out"] = _conv_init(keys[next(ki)], 7, dim, 1, dtype)
 
     # --- encoder (mirror: strided downsample → transformer → RVQ) ---
@@ -270,7 +283,7 @@ def init_params(key: jax.Array, cfg: CodecConfig, dtype=jnp.float32) -> Params:
         out_ch = min(ch * 2, H)
         enc["stages"].append(
             {
-                "alpha": jnp.zeros((ch,), dtype), "beta": jnp.zeros((ch,), dtype),
+                "alpha": _npz((ch,), dtype), "beta": _npz((ch,), dtype),
                 "conv": _conv_init(keys[next(ki)], 2 * r, ch, out_ch, dtype),
             }
         )
@@ -280,8 +293,8 @@ def init_params(key: jax.Array, cfg: CodecConfig, dtype=jnp.float32) -> Params:
         _xf_layer_init(keys[next(ki)], cfg, dtype) for _ in range(cfg.num_hidden_layers)
     ]
     # RVQ codebooks in hidden space
-    enc["codebooks"] = (jax.random.normal(keys[next(ki)],
-        (cfg.num_quantizers, cfg.codebook_size, H), jnp.float32) * 0.05).astype(dtype)
+    enc["codebooks"] = _init_normal(
+        keys[next(ki)], (cfg.num_quantizers, cfg.codebook_size, H), 0.05, dtype)
 
     return {"decoder": dec, "encoder": enc}
 

@@ -19,6 +19,7 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from ..ops.initrand import normal as _init_normal, ones as _init_ones
 from ..ops.quant import maybe_matmul
 from ..ops.rope import apply_rope
 
@@ -56,19 +57,19 @@ def init_block_stack(key: jax.Array, spec: BlockSpec, dtype) -> Dict[str, jnp.nd
     ks = jax.random.split(key, 8)
 
     def w(k, shape, fan_in):
-        return (jax.random.normal(k, shape, jnp.float32) * (fan_in**-0.5)).astype(dtype)
+        return _init_normal(k, shape, fan_in**-0.5, dtype)
 
+    # q/k/v and gate/up are stored FUSED (one matmul each in the hot loop —
+    # fewer kernel boundaries in the latency-bound decode step); checkpoints
+    # keep the unfused upstream names and the loader concatenates.
     return {
-        "input_norm": jnp.ones((L, H), dtype),
-        "q_proj": w(ks[0], (L, H, spec.q_dim), H),
-        "k_proj": w(ks[1], (L, H, spec.kv_dim), H),
-        "v_proj": w(ks[2], (L, H, spec.kv_dim), H),
+        "input_norm": _init_ones((L, H), dtype),
+        "qkv_proj": w(ks[0], (L, H, spec.q_dim + 2 * spec.kv_dim), H),
         "o_proj": w(ks[3], (L, spec.q_dim, H), spec.q_dim),
-        "q_norm": jnp.ones((L, D), dtype),
-        "k_norm": jnp.ones((L, D), dtype),
-        "post_norm": jnp.ones((L, H), dtype),
-        "gate_proj": w(ks[4], (L, H, I), H),
-        "up_proj": w(ks[5], (L, H, I), H),
+        "q_norm": _init_ones((L, D), dtype),
+        "k_norm": _init_ones((L, D), dtype),
+        "post_norm": _init_ones((L, H), dtype),
+        "gateup_proj": w(ks[4], (L, H, 2 * I), H),
         "down_proj": w(ks[6], (L, I, H), I),
     }
 
@@ -135,9 +136,12 @@ def block_forward(
     eps = spec.rms_norm_eps
 
     h = rms_norm(x, p["input_norm"], eps)
-    q = maybe_matmul(h, p["q_proj"]).reshape(B, Tq, spec.num_heads, spec.head_dim)
-    k = maybe_matmul(h, p["k_proj"]).reshape(B, Tq, spec.num_kv_heads, spec.head_dim)
-    v = maybe_matmul(h, p["v_proj"]).reshape(B, Tq, spec.num_kv_heads, spec.head_dim)
+    qkv = maybe_matmul(h, p["qkv_proj"])
+    q = qkv[..., : spec.q_dim].reshape(B, Tq, spec.num_heads, spec.head_dim)
+    k = qkv[..., spec.q_dim : spec.q_dim + spec.kv_dim].reshape(
+        B, Tq, spec.num_kv_heads, spec.head_dim)
+    v = qkv[..., spec.q_dim + spec.kv_dim :].reshape(
+        B, Tq, spec.num_kv_heads, spec.head_dim)
     q = rms_norm(q, p["q_norm"], eps)
     k = rms_norm(k, p["k_norm"], eps)
     q, k = apply_rope(q, k, cos, sin)  # rope in f32 for precision...
@@ -162,10 +166,9 @@ def block_forward(
     x = x + maybe_matmul(attn.reshape(B, Tq, spec.q_dim), p["o_proj"])
 
     h = rms_norm(x, p["post_norm"], eps)
-    x = x + maybe_matmul(
-        jax.nn.silu(maybe_matmul(h, p["gate_proj"])) * maybe_matmul(h, p["up_proj"]),
-        p["down_proj"],
-    )
+    gu = maybe_matmul(h, p["gateup_proj"])
+    I = spec.intermediate_size
+    x = x + maybe_matmul(jax.nn.silu(gu[..., :I]) * gu[..., I:], p["down_proj"])
     return x, k_cache, v_cache
 
 

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.config import PredictorConfig
+from ..ops.initrand import normal as _init_normal, ones as _np_ones, zeros as _np_zeros  # traceable
 from ..ops.rope import mrope_cos_sin
 from ..ops.sampling import sample_logits
 from .layers import (
@@ -82,19 +83,16 @@ def init_params(
     Hp, CB, NC = cfg.hidden_size, cfg.codebook_size, cfg.num_codebooks
     return {
         "small_to_mtp": {
-            "w": (jax.random.normal(k[0], (talker_hidden, Hp), jnp.float32)
-                  * (talker_hidden**-0.5)).astype(dtype),
-            "b": jnp.zeros((Hp,), dtype),
+            "w": _init_normal(k[0], (talker_hidden, Hp), talker_hidden**-0.5, dtype),
+            "b": _np_zeros((Hp,), dtype),
         },
         "blocks": init_block_stack(k[1], block_spec(cfg), dtype),
-        "final_norm": jnp.ones((Hp,), dtype),
+        "final_norm": _np_ones((Hp,), dtype),
         # per-codebook LM heads (reference: ModuleList[15], predictor_graph.py:56)
-        "lm_heads": (jax.random.normal(k[2], (NC, Hp, CB), jnp.float32)
-                     * (Hp**-0.5)).astype(dtype),
+        "lm_heads": _init_normal(k[2], (NC, Hp, CB), Hp**-0.5, dtype),
         # per-codebook embeddings in *talker* hidden space (generate.py:165 sums
         # them with the talker codec embedding to build the next talker input)
-        "codec_embeddings": (jax.random.normal(k[3], (NC, CB, talker_hidden), jnp.float32)
-                             * 0.02).astype(dtype),
+        "codec_embeddings": _init_normal(k[3], (NC, CB, talker_hidden), 0.02, dtype),
     }
 
 

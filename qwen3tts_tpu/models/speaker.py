@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.config import SpeakerEncoderConfig
+from ..ops.initrand import normal as _init_normal
 
 Params = Dict
 
@@ -65,8 +66,8 @@ def init_params(key: jax.Array, cfg: SpeakerEncoderConfig, dtype=jnp.float32) ->
     k = jax.random.split(key, 10)
 
     def conv(key_, K, cin, cout):
-        w = jax.random.normal(key_, (K, cin, cout), jnp.float32) * ((K * cin) ** -0.5)
-        return {"w": w.astype(dtype), "b": jnp.zeros((cout,), dtype)}
+        return {"w": _init_normal(key_, (K, cin, cout), (K * cin) ** -0.5, dtype),
+                "b": jnp.zeros(cout, dtype)}
 
     blocks = []
     for i in range(cfg.num_blocks):
@@ -84,8 +85,8 @@ def init_params(key: jax.Array, cfg: SpeakerEncoderConfig, dtype=jnp.float32) ->
         "att_w1": conv(k[8], 1, C, cfg.attention_channels),
         "att_w2": conv(k[9], 1, cfg.attention_channels, C),
         "out": {
-            "w": (jax.random.normal(jax.random.fold_in(key, 99), (2 * C, cfg.emb_dim), jnp.float32)
-                  * ((2 * C) ** -0.5)).astype(dtype),
+            "w": _init_normal(jax.random.fold_in(key, 99), (2 * C, cfg.emb_dim),
+                              (2 * C) ** -0.5, dtype),
             "b": jnp.zeros((cfg.emb_dim,), dtype),
         },
     }

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.config import TalkerConfig
+from ..ops.initrand import normal as _init_normal, ones as _np_ones, zeros as _np_zeros  # traceable
 from ..ops.rope import mrope_cos_sin
 from .layers import (
     BlockSpec,
@@ -59,25 +60,25 @@ def init_params(key: jax.Array, cfg: TalkerConfig, dtype=jnp.bfloat16) -> Params
     H, V = cfg.hidden_size, cfg.vocab_size
 
     def emb(kk, n, d, scale=0.02):
-        return (jax.random.normal(kk, (n, d), jnp.float32) * scale).astype(dtype)
+        return _init_normal(kk, (n, d), scale, dtype)
 
     return {
         "codec_embedding": emb(k[0], V, H),
         "text_embedding": emb(k[1], cfg.text_vocab_size, cfg.text_hidden_size),
         "text_projection": {
-            "w": (jax.random.normal(k[2], (cfg.text_hidden_size, H), jnp.float32)
-                  * (cfg.text_hidden_size**-0.5)).astype(dtype),
-            "b": jnp.zeros((H,), dtype),
+            "w": _init_normal(k[2], (cfg.text_hidden_size, H),
+                              cfg.text_hidden_size**-0.5, dtype),
+            "b": _np_zeros((H,), dtype),
         },
         "blocks": init_block_stack(k[3], block_spec(cfg), dtype),
-        "final_norm": jnp.ones((H,), dtype),
-        "codec_head": (jax.random.normal(k[4], (H, V), jnp.float32) * (H**-0.5)).astype(dtype),
+        "final_norm": _np_ones((H,), dtype),
+        "codec_head": _init_normal(k[4], (H, V), H**-0.5, dtype),
         # maps the speaker-encoder x-vector into talker hidden space (the
         # upstream equivalent is generate_speaker_prompt, model.py:347)
         "spk_proj": {
-            "w": (jax.random.normal(k[5], (cfg.speaker_embed_dim, H), jnp.float32)
-                  * (cfg.speaker_embed_dim**-0.5)).astype(dtype),
-            "b": jnp.zeros((H,), dtype),
+            "w": _init_normal(k[5], (cfg.speaker_embed_dim, H),
+                              cfg.speaker_embed_dim**-0.5, dtype),
+            "b": _np_zeros((H,), dtype),
         },
     }
 

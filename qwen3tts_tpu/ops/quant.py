@@ -17,8 +17,7 @@ import jax
 import jax.numpy as jnp
 
 # layer-stack leaves worth quantizing: [L, in, out] projection matrices
-_QUANT_KEYS = ("q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj",
-               "down_proj")
+_QUANT_KEYS = ("qkv_proj", "o_proj", "gateup_proj", "down_proj")
 
 
 def quantize_tensor(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:

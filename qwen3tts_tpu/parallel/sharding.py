@@ -57,15 +57,12 @@ def talker_param_specs(cfg: TalkerConfig) -> Dict[str, Any]:
         "text_projection": {"w": P("tp", None), "b": P(None)},
         "blocks": {
             "input_norm": P(None, None),
-            "q_proj": P(None, None, "tp"),
-            "k_proj": P(None, None, "tp"),
-            "v_proj": P(None, None, "tp"),
+            "qkv_proj": P(None, None, "tp"),
             "o_proj": P(None, "tp", None),
             "q_norm": P(None, None),
             "k_norm": P(None, None),
             "post_norm": P(None, None),
-            "gate_proj": P(None, None, "tp"),
-            "up_proj": P(None, None, "tp"),
+            "gateup_proj": P(None, None, "tp"),
             "down_proj": P(None, "tp", None),
         },
         "final_norm": P(None),

@@ -40,7 +40,7 @@ def test_quantized_bundle_generates(tiny_cfg, ref_wav):
 
     m = FasterQwen3TTS.from_pretrained("random:tiny", quantize="int8")
     blocks = m.params["talker"]["blocks"]
-    assert is_quantized(blocks["q_proj"])
+    assert is_quantized(blocks["qkv_proj"])
     assert not is_quantized(blocks["input_norm"])
     audio_list, sr = m.generate_voice_clone(
         "Quantized.", "English", ref_wav, "r", max_new_tokens=6)

@@ -33,7 +33,7 @@ def test_param_sharding_placement(shardable_cfg):
     mesh = make_mesh(8, dp=2, tp=4)
     params = talker_lib.init_params(jax.random.PRNGKey(0), shardable_cfg, jnp.float32)
     sharded = shard_params(params, mesh, talker_param_specs(shardable_cfg))
-    q = sharded["blocks"]["q_proj"]
+    q = sharded["blocks"]["qkv_proj"]
     # column-parallel: last axis split across tp=4
     shard_shapes = {s.data.shape for s in q.addressable_shards}
     L, H, QD = q.shape
