@@ -91,3 +91,14 @@ def test_longform_split_and_generate(tiny_tts, ref_wav):
     assert sr == 24_000
     # two segments + one gap
     assert len(wav) >= 2 * 4 * 2000 + int(0.05 * sr)
+
+
+def test_longform_streaming_segments(tiny_tts, ref_wav):
+    from qwen3tts_tpu.api.longform import generate_longform_streaming
+
+    chunks = list(generate_longform_streaming(
+        tiny_tts, "Seg one. Seg two.", "English", ref_wav, "r",
+        max_chars=10, chunk_size=4, max_new_tokens=4, gap_ms=40))
+    segs = {c[2]["segment"] for c in chunks}
+    assert segs == {0, 1}
+    assert any(c[2].get("is_gap") for c in chunks)

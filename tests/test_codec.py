@@ -78,3 +78,31 @@ def test_vocoder_stream_matches_full_decode(codec):
     assert stream.shape == full.shape
     # first (context) chunk is exactly the full decode prefix
     np.testing.assert_allclose(outs[0], full[: len(outs[0])], atol=1e-5)
+
+
+def test_stream_decoder_icl_priming(codec):
+    """Priming with reference codes (ICL) gives later chunks real left
+    context — the feed after priming must differ from an unprimed feed and
+    return only the new frames' samples."""
+    import numpy as np
+
+    from qwen3tts_tpu.audio.vocoder import Vocoder
+
+    params, cfg = codec
+    v = Vocoder(params, cfg, context_frames=25)
+    ref = np.asarray(_codes(cfg, 10, seed=5)[0])
+    gen = np.asarray(_codes(cfg, 6, seed=6)[0])
+
+    primed = v.stream_decoder(chunk_size=6)
+    primed.feed(ref)  # discard ref audio
+    out_primed = primed.feed(gen)
+
+    unprimed = v.stream_decoder(chunk_size=6)
+    out_unprimed = unprimed.feed(gen)
+
+    assert out_primed.shape == out_unprimed.shape == (6 * cfg.total_upsample,)
+    assert not np.allclose(out_primed, out_unprimed)  # context changed output
+
+    # primed output must equal the suffix of a full decode of ref+gen
+    full = v.decode(np.concatenate([ref, gen]))
+    np.testing.assert_allclose(out_primed, full[10 * cfg.total_upsample :], atol=1e-4)
