@@ -139,6 +139,10 @@ def flash_decode(
     assert S % block_size == 0, (S, block_size)
     if not interpret and jax.default_backend() == "cpu":
         interpret = True  # compiled Pallas is TPU-only; CPU uses the interpreter
+    if not interpret and D % 128 != 0:
+        raise ValueError(
+            f"flash_decode requires head_dim % 128 == 0 on TPU (got {D}); "
+            "use the XLA attention path for this config")
     qg = q.reshape(KVH, G, D)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

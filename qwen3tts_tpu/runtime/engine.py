@@ -130,10 +130,11 @@ class Engine:
         if use_flash_decode is None:
             # auto: the Pallas flash-decode kernel wins ~6% end-to-end on TPU
             # (reads only the live KV prefix); CPU runs it interpreted (slow),
-            # so default off there
+            # and Mosaic requires the head dim to be lane-aligned (128)
             use_flash_decode = (
                 jax.default_backend() not in ("cpu",)
                 and cfg.talker.sliding_window is None
+                and cfg.talker.head_dim % 128 == 0
             )
         self.use_flash_decode = use_flash_decode
         self._suppress = jnp.asarray(
