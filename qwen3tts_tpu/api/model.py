@@ -62,6 +62,7 @@ class FasterQwen3TTS:
         *,
         max_seq_len: int = 2048,
         seed: int = 0,
+        tokenizer_json: Optional[str] = None,
     ):
         self.cfg = cfg
         self.params = params
@@ -74,7 +75,9 @@ class FasterQwen3TTS:
         # host-side prompt assembly (see prompt.py: avoids ~40 op-dispatch
         # programs per generation on the tunneled-TPU runtime)
         self.prompt_builder = PromptBuilder(params["talker"], params["predictor"], cfg)
-        self.tokenizer = TextTokenizer(vocab_size=cfg.talker.text_vocab_size)
+        self.tokenizer = TextTokenizer(
+            tokenizer_json=tokenizer_json, vocab_size=cfg.talker.text_vocab_size
+        )
         self.sample_rate = _infer_sample_rate(cfg.codec, cfg)
         self._voice_prompt_cache: Dict = {}
         self._warmed_up = False
@@ -104,6 +107,21 @@ class FasterQwen3TTS:
                      "float32": jnp.float32, "fp32": jnp.float32,
                      "float16": jnp.float16, "fp16": jnp.float16}[dtype]
         cfg, params = load_pretrained(model_name, dtype=dtype, seed=seed)
+        # Thread the checkpoint's tokenizer.json into the text tokenizer; the
+        # byte-level fallback's invented special ids would silently garble
+        # text conditioning with real weights (ADVICE r1 api/model.py:77).
+        tokenizer_json = None
+        ckpt_dir = Path(model_name)
+        if ckpt_dir.is_dir():
+            tok = ckpt_dir / "tokenizer.json"
+            if tok.exists():
+                tokenizer_json = str(tok)
+            else:
+                logger.warning(
+                    "Checkpoint %s has no tokenizer.json — falling back to the "
+                    "byte-level tokenizer, whose token ids will NOT match the "
+                    "Qwen text vocab. Place the upstream tokenizer.json in the "
+                    "checkpoint dir for correct text conditioning.", model_name)
         if quantize == "int8":
             from ..ops.quant import quantize_bundle
 
@@ -112,7 +130,8 @@ class FasterQwen3TTS:
             raise ValueError(f"unknown quantize mode '{quantize}' (use 'int8')")
         logger.info("Loaded %s (%s, %s%s)", model_name, cfg.model_type, cfg.dtype,
                     f", {quantize}" if quantize else "")
-        return cls(cfg, params, max_seq_len=max_seq_len, seed=seed)
+        return cls(cfg, params, max_seq_len=max_seq_len, seed=seed,
+                   tokenizer_json=tokenizer_json)
 
     # ------------------------------------------------------------------
     def _next_key(self) -> jax.Array:
@@ -126,6 +145,17 @@ class FasterQwen3TTS:
         logger.info("Compiling jitted decode executables (one-time)...")
         self.engine.warmup(prefill_len, tth_len, policy, pred_policy, chunk_sizes)
         self._warmed_up = True
+
+    def warmup_all(self, chunk_sizes=(8, 16), max_prefill: Optional[int] = None):
+        """Compile every (prefill bucket × tth bucket × chunk size) executable
+        up front so no request — however long — hits a mid-serving compile
+        stall.  Servers call this at startup; all programs land in the
+        persistent XLA cache so restarts are cache reads."""
+        pol, ppol = self._policies(0.9, 50, 1.0, True, 1.05, 2)
+        dt = self.engine.warmup_all(pol, ppol, chunk_sizes, max_prefill=max_prefill)
+        self._warmed_up = True
+        logger.info("warmup_all finished in %.1fs", dt)
+        return dt
 
     # ------------------------------------------------------------------
     # voice-clone prompt construction
@@ -258,8 +288,11 @@ class FasterQwen3TTS:
             temperature=temperature, top_k=top_k, top_p=top_p, do_sample=do_sample,
             repetition_penalty=repetition_penalty, min_new_tokens=min_new_tokens,
         )
-        # predictor defaults mirror the reference ctor (model.py:124-133)
-        ppol = SamplingPolicy(do_sample=do_sample, top_k=50, top_p=1.0, temperature=0.9)
+        # The predictor ALWAYS samples at top_k=50/temp=0.9 regardless of the
+        # talker's do_sample — the reference freezes this policy into the
+        # captured predictor graph at build time (model.py:124-133,
+        # predictor_graph.py:34-50), so --greedy only makes codebook 0 greedy.
+        ppol = SamplingPolicy(do_sample=True, top_k=50, top_p=1.0, temperature=0.9)
         return pol, ppol
 
     def _finish_audio(self, codec_ids: Optional[np.ndarray], ref_codes, timing):
@@ -383,25 +416,14 @@ class FasterQwen3TTS:
 
     def _parity_stream(self, embeds, trailing, tpe, pol, ppol, max_new_tokens,
                        chunk_size):
-        """Chunked wrapper over the parity path (reference
-        parity_generate_streaming, streaming.py:192-359)."""
-        ids, timing = loops.parity_generate(
+        """TRUE streaming over the per-step parity path — chunks are yielded
+        as they are decoded, so parity-mode TTFA measurements are real
+        (reference parity_generate_streaming, streaming.py:192-359)."""
+        yield from loops.parity_generate_streaming(
             self.engine, embeds, trailing, tpe, key=self._next_key(),
             max_new_tokens=max_new_tokens, policy=pol, pred_policy=ppol,
+            chunk_size=chunk_size,
         )
-        if ids is None:
-            return
-        total = ids.shape[0]
-        for ci, start in enumerate(range(0, total, chunk_size)):
-            chunk = ids[start : start + chunk_size]
-            yield chunk, {
-                "chunk_index": ci,
-                "chunk_steps": chunk.shape[0],
-                "prefill_ms": timing["prefill_ms"] if ci == 0 else 0,
-                "decode_ms": timing["decode_s"] * 1000 * chunk.shape[0] / total,
-                "total_steps_so_far": min(start + chunk_size, total),
-                "is_final": start + chunk_size >= total,
-            }
 
     # ------------------------------------------------------------------
     # custom voice / voice design
@@ -436,8 +458,8 @@ class FasterQwen3TTS:
             raise ValueError("Loaded model does not support custom voice generation")
         self._validate_languages([language])
         self._validate_speakers([speaker])
-        if self.tts_model_size in "0b6":  # 0.6B drops instruct (model.py:849-850)
-            instruct = None
+        if self.tts_model_size == "0.6b":  # 0.6B drops instruct (model.py:849-850;
+            instruct = None                # sizes are normalized at config load)
         embeds, trailing, tpe = self._prepare_custom(text, language, speaker, instruct)
         pol, ppol = self._policies(temperature, top_k, top_p, do_sample,
                                    repetition_penalty, min_new_tokens)
@@ -467,7 +489,7 @@ class FasterQwen3TTS:
             raise ValueError("Loaded model does not support custom voice generation")
         self._validate_languages([language])
         self._validate_speakers([speaker])
-        if self.tts_model_size in "0b6":
+        if self.tts_model_size == "0.6b":
             instruct = None
         embeds, trailing, tpe = self._prepare_custom(text, language, speaker, instruct)
         pol, ppol = self._policies(temperature, top_k, top_p, do_sample,

@@ -131,6 +131,10 @@ def cmd_design(args):
 def cmd_serve(args):
     """stdin REPL with the model kept hot (reference cli.py:186-305)."""
     model = _load_model(args)
+    if getattr(args, "warmup_all", False):
+        print("Warming all compile buckets (one-time; persistent-cached)...",
+              file=sys.stderr)
+        model.warmup_all(chunk_sizes=(args.chunk_size, 16))
     mode = args.mode
     if mode == "clone" and not args.ref_audio:
         print("serve --mode clone requires --ref-audio", file=sys.stderr)
@@ -239,6 +243,8 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--ref-text", default="")
     s.add_argument("--speaker", default=None)
     s.add_argument("--instruct", default=None)
+    s.add_argument("--warmup-all", action="store_true",
+                   help="compile every prefill/tth bucket before serving")
     s.add_argument("--non-streaming-mode", action=argparse.BooleanOptionalAction,
                    default=True)
     s.add_argument("--output-dir", default=".")

@@ -192,11 +192,17 @@ def main(argv=None):
     p.add_argument("--ref-audio", default=None, help="single default voice")
     p.add_argument("--ref-text", default="")
     p.add_argument("--chunk-size", type=int, default=8)
+    p.add_argument("--warmup-all", action=argparse.BooleanOptionalAction, default=True,
+                   help="compile every prefill/tth bucket at startup so no "
+                        "request hits a mid-serving compile stall")
     args = p.parse_args(argv)
 
     from ..api.model import FasterQwen3TTS
 
     model = FasterQwen3TTS.from_pretrained(args.model, dtype=args.dtype)
+    if args.warmup_all:
+        logger.info("warming all compile buckets (one-time; persistent-cached)...")
+        model.warmup_all(chunk_sizes=(args.chunk_size, 16))
     registry = VoiceRegistry.from_args(args.voices, args.ref_audio, args.ref_text)
     httpd = serve(model, registry, args.host, args.port, args.chunk_size)
     try:

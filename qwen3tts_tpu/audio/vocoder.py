@@ -6,10 +6,11 @@ sliding window with 25-frame left context, trimming context samples.
 
 TPU-native simplification: our codec is strictly causal and emits exactly
 ``total_upsample`` samples per frame, so no calibration is needed and the
-sliding window runs as ONE fixed-shape jitted executable: windows shorter
-than ``context+chunk`` are left-padded and masked via ``pad_count``, which the
-codec treats exactly like an absent prefix (verified bit-stable).  Distinct
-compile count: one per (window bucket), not per length.
+sliding window runs as ONE fixed-shape jitted executable.  Shape bucketing
+is done by RIGHT-padding the code sequence and trimming the waveform tail —
+exact by causality for any weights (left-pad masking would only be exact
+with all-zero biases; see models/codec.py:decode docstring).
+Distinct compile count: one per (window bucket), not per length.
 """
 from __future__ import annotations
 
@@ -51,13 +52,10 @@ class Vocoder:
         """codes [T, 16] → waveform [T*spf] float32."""
         T = codes.shape[0]
         Tb = _bucket(T)
-        pad = Tb - T
         c = np.zeros((1, Tb, self.cfg.num_quantizers), np.int32)
-        c[0, pad:] = codes
-        wav = self._decode_jit(
-            self.params, codes=jnp.asarray(c), pad_count=jnp.array([pad], jnp.int32)
-        )
-        return np.asarray(wav[0, pad * self.spf :])
+        c[0, :T] = codes
+        wav = self._decode_jit(self.params, codes=jnp.asarray(c))
+        return np.asarray(wav[0, : T * self.spf])
 
     # -- streaming ------------------------------------------------------
     def stream_decoder(self, chunk_size: int) -> "StreamDecoder":
@@ -84,8 +82,9 @@ class StreamDecoder:
     """Stateful per-generation streaming decoder (one fixed-shape executable).
 
     Mirrors the reference's hybrid decode (model.py:769-826) but exact:
-    every call decodes a ``context+chunk`` window (left-padded + masked when
-    not enough history) and returns only the new samples.
+    every call decodes a ``context+chunk`` window (right-padded to the fixed
+    window length when not enough new frames) and returns only the new
+    samples — exact by strict causality.
     """
 
     def __init__(self, vocoder: Vocoder, chunk_size: int):
@@ -111,14 +110,11 @@ class StreamDecoder:
             return out
 
         win = all_codes[max(0, total - W) :]
-        n_ctx = win.shape[0] - n_new
-        pad = W - win.shape[0]
+        n_valid = win.shape[0]
+        n_ctx = n_valid - n_new
         buf = np.zeros((1, W, self.v.cfg.num_quantizers), np.int32)
-        if win.shape[0]:
-            buf[0, pad:] = win
-        wav = self.v._decode_jit(
-            self.v.params, codes=jnp.asarray(buf), pad_count=jnp.array([pad], jnp.int32)
-        )
-        out = np.asarray(wav[0, (pad + n_ctx) * self.v.spf :])
+        buf[0, :n_valid] = win
+        wav = self.v._decode_jit(self.v.params, codes=jnp.asarray(buf))
+        out = np.asarray(wav[0, n_ctx * self.v.spf : n_valid * self.v.spf])
         self.n_emitted_frames = total
         return out

@@ -83,32 +83,76 @@ def save_checkpoint(path: str | Path, cfg: TTSModelConfig, bundle: Dict[str, Any
     path.mkdir(parents=True, exist_ok=True)
     (path / "config.json").write_text(json.dumps(cfg.to_dict(), indent=2))
     flat = flatten(bundle)
-    # bf16 numpy arrays are supported by safetensors via their ml_dtypes repr
-    save_file({k: np.asarray(v) for k, v in flat.items()}, str(path / "model.safetensors"))
+    # bf16 numpy arrays are supported by safetensors via their ml_dtypes repr.
+    # ascontiguousarray: safetensors.numpy silently serializes the BASE buffer
+    # of non-contiguous (e.g. transposed) arrays, scrambling the data.
+    save_file({k: np.ascontiguousarray(v) for k, v in flat.items()},
+              str(path / "model.safetensors"))
+
+
+def _load_sharded_tensors(path: Path) -> Dict[str, np.ndarray]:
+    """Read all weight tensors from a checkpoint dir: single
+    ``model.safetensors``, or HF multi-file shards resolved through
+    ``model.safetensors.index.json`` (falling back to a glob)."""
+    from safetensors.numpy import load_file
+
+    single = path / "model.safetensors"
+    if single.exists():
+        return dict(load_file(str(single)))
+    index = path / "model.safetensors.index.json"
+    if index.exists():
+        weight_map = json.loads(index.read_text())["weight_map"]
+        shards = sorted(set(weight_map.values()))
+    else:
+        shards = sorted(p.name for p in path.glob("model-*-of-*.safetensors"))
+    if not shards:
+        raise FileNotFoundError(f"no safetensors weights found in {path}")
+    out: Dict[str, np.ndarray] = {}
+    for shard in shards:
+        out.update(load_file(str(path / shard)))
+    return out
 
 
 def load_checkpoint(path: str | Path, dtype=None) -> Tuple[TTSModelConfig, Dict[str, Any]]:
-    from safetensors.numpy import load_file
+    """Load either layout (sniffed from config.json — reference
+    from_pretrained accepts the upstream HF checkpoint dir, model.py:71-152):
 
+      - canonical (this framework's ``save_checkpoint``): config.json carries
+        the full nested dataclass dict under a top-level "talker" key;
+      - upstream HF torch layout: "talker_config" key, torch tensor names in
+        [out,in]/[Cout,Cin,K] layout, optionally sharded across
+        ``model-XXXXX-of-YYYYY.safetensors`` files.
+    """
     path = Path(path)
     raw_cfg = json.loads((path / "config.json").read_text())
-    # canonical format stores the full nested dict under dataclass field names
-    if "talker" in raw_cfg:
+    named = _load_sharded_tensors(path)
+    if "talker" in raw_cfg:  # canonical format: flat names match our pytree
         cfg = _cfg_from_canonical(raw_cfg)
-    else:
+        bundle = unflatten(named)
+    else:  # upstream torch layout → convert
         cfg = TTSModelConfig.from_dict(raw_cfg)
-    flat = load_file(str(path / "model.safetensors"))
-    bundle = unflatten(dict(flat))
+        bundle = convert_torch_checkpoint(named, cfg)
     target = dtype or cfg.jnp_dtype
     # dtype-cast on HOST, then ONE batched tree transfer (per-leaf transfers
-    # each pay a full round trip on tunneled runtimes)
+    # each pay a full round trip on tunneled runtimes).  Only the talker /
+    # predictor halves are cast to the model dtype; the codec and speaker
+    # encoder keep their stored precision (waveform fidelity — init_random
+    # makes the same split).
     from ..ops.initrand import fast_astype
 
-    bundle = jax.tree.map(
-        lambda x: fast_astype(np.asarray(x), target)
-        if np.issubdtype(np.asarray(x).dtype, np.floating) else x,
-        bundle,
-    )
+    def cast_half(half, t):
+        return jax.tree.map(
+            lambda x: fast_astype(np.asarray(x), t)
+            if np.issubdtype(np.asarray(x).dtype, np.floating) else np.asarray(x),
+            half,
+        )
+
+    bundle = {
+        "talker": cast_half(bundle["talker"], target),
+        "predictor": cast_half(bundle["predictor"], target),
+        "codec": jax.tree.map(np.asarray, bundle["codec"]),
+        "speaker": jax.tree.map(np.asarray, bundle["speaker"]),
+    }
     from .packed_transfer import device_put_tree
 
     return cfg, device_put_tree(bundle)
@@ -272,15 +316,65 @@ _PRED_TOP = {
 }
 
 
+# ---------------------------------------------------------------------------
+# generic torch-layout bijection for the codec / speaker halves
+#
+# The upstream hides these models behind ``speech_tokenizer`` /
+# ``create_voice_clone_prompt`` (SURVEY.md §2.2), so their exact state-dict
+# names are not pinned by the reference repo.  The mapping below is the
+# DESIGNED landing point: a systematic bijection between our pytree and torch
+# naming/layout conventions ([out,in] linears, [Cout,Cin,K] convs, ModuleList
+# indices).  When real weights land, only the name prefix table needs
+# adjusting; the mechanics (stacking, transposes, shard handling) are proven
+# by tests/test_torch_checkpoint.py round-trips.
+# ---------------------------------------------------------------------------
+
+
+def export_aux_tree(tree: Any, prefix: str) -> Dict[str, np.ndarray]:
+    """Our pytree → torch-named tensors.  Leaf 'w' → '.weight' (rank-2
+    transposed to [out,in]; rank-3 conv to [Cout,Cin,K]); 'b' → '.bias';
+    every other leaf keeps its name and layout."""
+    out: Dict[str, np.ndarray] = {}
+    for path, leaf in flatten(tree, prefix + SEP).items():
+        parts = path.split(SEP)
+        name = parts[-1]
+        t = np.asarray(leaf)
+        if name == "w":
+            parts[-1] = "weight"
+            t = t.transpose(2, 1, 0) if t.ndim == 3 else t.T
+        elif name == "b":
+            parts[-1] = "bias"
+        out[".".join(parts)] = t
+    return out
+
+
+def convert_aux_tree(named_tensors: Dict[str, np.ndarray], prefix: str) -> Any:
+    """Inverse of ``export_aux_tree``: torch-named tensors under ``prefix`` →
+    our nested pytree.  Returns None if no tensors carry the prefix."""
+    flat: Dict[str, np.ndarray] = {}
+    pfx = prefix + "."
+    for name, tensor in named_tensors.items():
+        if not name.startswith(pfx):
+            continue
+        parts = name[len(pfx):].split(".")
+        t = np.asarray(tensor)
+        if parts[-1] == "weight":
+            parts[-1] = "w"
+            t = t.transpose(2, 1, 0) if t.ndim == 3 else t.T
+        elif parts[-1] == "bias":
+            parts[-1] = "b"
+        flat[SEP.join(parts)] = t
+    return unflatten(flat) if flat else None
+
+
 def convert_torch_checkpoint(
     named_tensors: Dict[str, np.ndarray], cfg: TTSModelConfig
 ) -> Dict[str, Any]:
-    """Best-effort conversion of an upstream torch-layout state dict into the
-    {'talker', 'predictor'} halves of a bundle (SURVEY.md §2.2 surface:
-    per-codebook ModuleLists become stacked arrays; per-layer decoder tensors
-    become lax.scan-ready [L, ...] stacks).  The codec / speaker-encoder
-    halves use architectures the upstream does not expose in the reference
-    repo and must be converted separately once their checkpoints exist."""
+    """Conversion of an upstream torch-layout state dict into a full
+    {'talker', 'predictor', 'codec', 'speaker'} bundle (SURVEY.md §2.2
+    surface: per-codebook ModuleLists become stacked arrays; per-layer decoder
+    tensors become lax.scan-ready [L, ...] stacks; codec/speaker trees convert
+    through the generic bijection above)."""
     talker: Dict[str, Any] = {
         "blocks": convert_torch_tree(named_tensors, cfg.talker.num_hidden_layers,
                                      "talker.model"),
@@ -314,7 +408,19 @@ def convert_torch_checkpoint(
 
     talker.update(unflatten(flat_t))
     predictor.update(unflatten(flat_p))
-    return {"talker": talker, "predictor": predictor}
+
+    codec = convert_aux_tree(named_tensors, "speech_tokenizer")
+    speaker = convert_aux_tree(named_tensors, "speaker_encoder")
+    missing = [n for n, half in (("speech_tokenizer", codec),
+                                 ("speaker_encoder", speaker)) if half is None]
+    if missing:
+        raise ValueError(
+            f"checkpoint is missing the {missing} tensor group(s); a partial "
+            "model cannot synthesize audio. Convert/merge all four sub-models "
+            "into one checkpoint dir (see core/loader.py docstring)."
+        )
+    return {"talker": talker, "predictor": predictor,
+            "codec": codec, "speaker": speaker}
 
 
 def export_torch_layout(bundle: Dict[str, Any], cfg: TTSModelConfig) -> Dict[str, np.ndarray]:
@@ -363,4 +469,46 @@ def export_torch_layout(bundle: Dict[str, Any], cfg: TTSModelConfig) -> Dict[str
     for i in range(lm.shape[0]):
         out[f"talker.code_predictor.lm_head.{i}.weight"] = lm[i].T
         out[f"talker.code_predictor.model.codec_embedding.{i}.weight"] = ce[i]
+    if "codec" in bundle:
+        out.update(export_aux_tree(bundle["codec"], "speech_tokenizer"))
+    if "speaker" in bundle:
+        out.update(export_aux_tree(bundle["speaker"], "speaker_encoder"))
     return out
+
+
+def export_torch_checkpoint(
+    path: str | Path,
+    cfg: TTSModelConfig,
+    bundle: Dict[str, Any],
+    num_shards: int = 1,
+    tokenizer_json: str | None = None,
+) -> None:
+    """Write an upstream-HF-layout checkpoint dir: HF-style config.json,
+    torch-named/[out,in]-layout tensors across ``num_shards`` safetensors
+    files with an index.json, optional tokenizer.json.  This is the one-command
+    export whose inverse is ``load_checkpoint``'s torch branch — and the
+    format golden fixtures/conversions are tested against."""
+    from safetensors.numpy import save_file
+
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    (path / "config.json").write_text(json.dumps(cfg.to_hf_dict(), indent=2))
+    # ascontiguousarray: the export transposes to torch layout, and
+    # safetensors.numpy silently serializes base buffers of views
+    named = {k: np.ascontiguousarray(v)
+             for k, v in export_torch_layout(bundle, cfg).items()}
+    names = sorted(named)
+    if num_shards <= 1:
+        save_file({n: named[n] for n in names}, str(path / "model.safetensors"))
+    else:
+        per = -(-len(names) // num_shards)
+        weight_map: Dict[str, str] = {}
+        for si in range(num_shards):
+            shard_names = names[si * per : (si + 1) * per]
+            fname = f"model-{si + 1:05d}-of-{num_shards:05d}.safetensors"
+            save_file({n: named[n] for n in shard_names}, str(path / fname))
+            weight_map.update({n: fname for n in shard_names})
+        (path / "model.safetensors.index.json").write_text(
+            json.dumps({"metadata": {}, "weight_map": weight_map}, indent=2))
+    if tokenizer_json:
+        (path / "tokenizer.json").write_text(Path(tokenizer_json).read_text())

@@ -214,16 +214,12 @@ def _xf_forward(p, x, cfg: CodecConfig, mask, cos, sin):
     return x
 
 
-def _pre_transformer(params, x, cfg: CodecConfig, pad_count):
+def _pre_transformer(params, x, cfg: CodecConfig):
     B, T, H = x.shape
     qi = jnp.arange(T, dtype=jnp.int32)[None, :, None]
     ki = jnp.arange(T, dtype=jnp.int32)[None, None, :]
     mask = (ki <= qi) & (ki > qi - cfg.sliding_window)
-    if pad_count is not None:
-        mask = mask & (ki >= pad_count[:, None, None])
     pos = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
-    if pad_count is not None:
-        pos = jnp.maximum(pos - pad_count[:, None], 0)
     cos, sin = mrope_cos_sin(pos, cfg.head_dim, cfg.rope_theta, None)
     for layer in params:
         x = _xf_forward(layer, x, cfg, mask, cos, sin)
@@ -308,14 +304,16 @@ def decode(
     params: Params,
     cfg: CodecConfig,
     codes: jnp.ndarray,  # [B, T, num_quantizers] int32
-    pad_count: Optional[jnp.ndarray] = None,  # [B] — leading frames to treat as absent
 ) -> jnp.ndarray:
     """codes → waveform [B, T*total_upsample] float32 in [-1, 1].
 
-    ``pad_count`` marks left-padding frames (used by the fixed-window
-    streaming decoder): their hidden states are zeroed so the conv stack sees
-    exactly what it would see for a shorter sequence (causal convs left-pad
-    with zeros), and attention masks them out.
+    Shape bucketing is done by RIGHT-padding (callers pad ``codes`` on the
+    right and trim the waveform tail): the stack is strictly causal, so the
+    first ``T_valid * total_upsample`` samples are bit-identical to an
+    unpadded decode regardless of bias/offset values.  (Left-pad masking is
+    NOT exact once convs/norms carry nonzero biases — pad-region activations
+    become bias-derived values that bleed into the valid region; see
+    tests/test_codec.py::test_right_pad_equivalence_nonzero_biases.)
     """
     dec = params["decoder"]
     B, T, Q = codes.shape
@@ -323,13 +321,7 @@ def decode(
     emb = dec["code_embedding"][codes + offsets]  # [B, T, Q, H]
     h = emb.mean(axis=2)
 
-    if pad_count is not None:
-        frame_ok = (jnp.arange(T, dtype=jnp.int32)[None, :] >= pad_count[:, None])
-        h = h * frame_ok[:, :, None].astype(h.dtype)
-
-    h = _pre_transformer(dec["pre_transformer"], h, cfg, pad_count)
-    if pad_count is not None:
-        h = h * frame_ok[:, :, None].astype(h.dtype)
+    h = _pre_transformer(dec["pre_transformer"], h, cfg)
 
     for st, ratio in zip(dec["upsample"], cfg.upsampling_ratios):
         h = causal_trans_conv(h, st["tconv"]["w"], st["tconv"]["b"], stride=ratio)
@@ -368,7 +360,7 @@ def encode(
         h = snake_beta(h, st["alpha"], st["beta"])
         h = causal_conv(h, st["conv"]["w"], st["conv"]["b"], stride=rate)
     h = h @ enc["proj"]["w"] + enc["proj"]["b"]  # [B, T, H]
-    h = _pre_transformer(enc["transformer"], h, cfg, None)
+    h = _pre_transformer(enc["transformer"], h, cfg)
 
     # residual vector quantization
     def body(residual, codebook):

@@ -33,5 +33,14 @@ def fast_astype(arr: np.ndarray, dtype) -> np.ndarray:
     if arr.dtype == np.float32 and np_dtype.name == "bfloat16":
         u = arr.view(np.uint32)
         rounded = u + np.uint32(0x7FFF) + ((u >> np.uint32(16)) & np.uint32(1))
-        return (rounded >> np.uint32(16)).astype(np.uint16).view(np_dtype)
+        out = (rounded >> np.uint32(16)).astype(np.uint16)
+        # NaN guard: the rounding add can overflow a NaN mantissa into the
+        # exponent (NaN -> Inf).  Pass NaNs through truncated instead
+        # (keeps them NaN; payload truncation matches ml_dtypes).
+        is_nan = (u & np.uint32(0x7F800000)) == np.uint32(0x7F800000)
+        is_nan &= (u & np.uint32(0x007FFFFF)) != 0
+        if is_nan.any():
+            trunc = (u >> np.uint32(16)).astype(np.uint16)
+            out = np.where(is_nan, trunc | np.uint16(0x0040), out)
+        return out.view(np_dtype)
     return arr.astype(np_dtype)

@@ -80,6 +80,99 @@ def shard_params(params: Dict, mesh: Mesh, specs: Dict) -> Dict:
     )
 
 
+def predictor_param_specs(cfg) -> Dict[str, Any]:
+    """PartitionSpecs for the code-predictor pytree (same megatron TP layout;
+    per-codebook heads/embeddings shard their vocab axis)."""
+    return {
+        "small_to_mtp": {"w": P(None, None), "b": P(None)},
+        "blocks": {
+            "input_norm": P(None, None),
+            "qkv_proj": P(None, None, "tp"),
+            "o_proj": P(None, "tp", None),
+            "q_norm": P(None, None),
+            "k_norm": P(None, None),
+            "post_norm": P(None, None),
+            "gateup_proj": P(None, None, "tp"),
+            "down_proj": P(None, "tp", None),
+        },
+        "final_norm": P(None),
+        "lm_heads": P(None, None, "tp"),          # [NC, Hp, CB]
+        "codec_embeddings": P(None, "tp", None),  # [NC, CB, Ht]
+    }
+
+
+def kv_cache_spec() -> P:
+    """KV cache [L, B, S, KVH, D]: shard the KV heads over tp (matches the
+    column-parallel qkv projection, so cache writes stay local to each
+    shard — no resharding inside the decode step)."""
+    return P(None, None, None, "tp", None)
+
+
+def sharded_inference_check(mesh: Mesh, steps: int = 8) -> Tuple[np.ndarray, np.ndarray]:
+    """Run the Engine's REAL serving path (bucketed prefill + fused decode
+    chunk) with TP-sharded params+KV over ``mesh``, and the identical
+    computation on replicated params; returns both greedy token sequences.
+
+    This is the escape-hatch claim of SURVEY §2.4 made executable: TP over
+    ICI is a config change to the inference engine, not a rewrite
+    (VERDICT r1 next-step 2 — the dry-run must certify *inference*)."""
+    import dataclasses
+
+    from ..core.config import PredictorConfig, TalkerConfig, TTSModelConfig
+    from ..models import predictor as predictor_lib
+    from ..runtime.engine import Engine, GenerationPolicy
+    from ..runtime import loops
+
+    tp = mesh.shape["tp"]
+    # tiny-but-shardable: kv heads / ffn / vocab divisible by tp
+    cfg = TTSModelConfig(
+        dtype="float32",
+        talker=TalkerConfig(
+            hidden_size=64, num_hidden_layers=2, num_attention_heads=8,
+            num_key_value_heads=4, head_dim=16, intermediate_size=128,
+            mrope_section=(4, 2, 2), vocab_size=3072, text_vocab_size=512,
+            text_hidden_size=64, speaker_embed_dim=64,
+        ),
+        predictor=PredictorConfig(
+            hidden_size=64, num_hidden_layers=2, num_attention_heads=8,
+            num_key_value_heads=4, head_dim=16, intermediate_size=128,
+        ),
+    )
+    tparams = talker_lib.init_params(jax.random.PRNGKey(0), cfg.talker, jnp.float32)
+    pparams = predictor_lib.init_params(
+        jax.random.PRNGKey(1), cfg.predictor, cfg.talker.hidden_size, jnp.float32)
+    embeds = jnp.asarray(
+        np.random.RandomState(2).randn(1, 10, cfg.talker.hidden_size), jnp.float32) * 0.1
+    tth = jnp.asarray(
+        np.random.RandomState(3).randn(1, 4, cfg.talker.hidden_size), jnp.float32) * 0.1
+    tpe = jnp.zeros((1, 1, cfg.talker.hidden_size), jnp.float32)
+    pol = GenerationPolicy(do_sample=False)
+    ppol = predictor_lib.SamplingPolicy(do_sample=False)
+    key = jax.random.PRNGKey(7)
+
+    def run(shard: bool) -> np.ndarray:
+        tp_params, pp_params = tparams, pparams
+        if shard:
+            tp_params = shard_params(tparams, mesh, talker_param_specs(cfg.talker))
+            pp_params = shard_params(pparams, mesh, predictor_param_specs(cfg.predictor))
+        eng = Engine(tp_params, pp_params, cfg, max_seq_len=64)
+        if shard:
+            # pre-populate the KV pool with a TP-sharded cache so prefill
+            # writes (and all decode reads) are shard-local
+            eng._kv_pool.append(jax.tree.map(
+                lambda x: jax.device_put(x, NamedSharding(mesh, kv_cache_spec())),
+                eng.new_kv()))
+        ids, _ = loops.fast_generate(
+            eng, embeds, tth, tpe, key=key, max_new_tokens=steps,
+            policy=pol, pred_policy=ppol, device_chunk=4)
+        return np.asarray(ids)
+
+    with mesh:
+        sharded = run(True)
+    single = run(False)
+    return sharded, single
+
+
 # ---------------------------------------------------------------------------
 # sharded training step (forward + loss + grad + adamw)
 # ---------------------------------------------------------------------------

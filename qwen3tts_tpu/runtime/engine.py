@@ -124,6 +124,13 @@ class Engine:
         self.talker_params = talker_params
         self.predictor_params = predictor_params
         self.max_seq_len = max_seq_len
+        if batch != 1:
+            raise NotImplementedError(
+                "Engine is batch-1 (matching the reference's scope, SURVEY "
+                "§2.4): the KV compaction roll, EOS check, repetition-penalty "
+                "history and flash-decode all assume B==1. Batched serving "
+                "needs per-row pos/EOS state — see TODO.md."
+            )
         self.batch = batch
         self.dtype = cfg.jnp_dtype
         self.eos_id = cfg.talker.codec_eos_token_id
@@ -193,6 +200,18 @@ class Engine:
         last, logits, kv = talker_lib.prefill(
             talker_params, self.talker_cfg, embeds, pad_count, kv
         )
+        # Compact the cache: roll the left-pad rows out so the live prefix
+        # starts at row 0 and ``pos`` starts at the TRUE prefill length.
+        # Recovers the generation budget the bucket padding would otherwise
+        # consume (stop condition is pos < max_seq_len-1), shrinks every
+        # decode step's attention read to the live prefix, and zeroes
+        # pad_count for the whole decode phase.  One fused O(cache) move,
+        # amortized over the generation.  (batch-1 semantics: pad_count[0].)
+        roll = pad_count[0]
+        kv = {
+            "k": jnp.roll(kv["k"], -roll, axis=2),
+            "v": jnp.roll(kv["v"], -roll, axis=2),
+        }
         key, ks = jax.random.split(key)
         token = sample_logits(
             ks,
@@ -210,8 +229,8 @@ class Engine:
             "kv": kv,
             "past_hidden": last,
             "token": token.astype(jnp.int32),
-            "pos": jnp.int32(embeds.shape[1]),
-            "pad_count": pad_count.astype(jnp.int32),
+            "pos": jnp.int32(embeds.shape[1]) - roll.astype(jnp.int32),
+            "pad_count": jnp.zeros_like(pad_count, jnp.int32),
             "gen_step": jnp.int32(0),
             "seen": jnp.zeros((self.talker_cfg.vocab_size,), bool),
             "n_gen": jnp.int32(0),
@@ -440,4 +459,51 @@ class Engine:
         self._warmed_up = True
         dt = time.time() - t0
         logger.info("engine warmup (prefill bucket %d, chunks %s): %.1fs", Tb, chunk_sizes, dt)
+        return dt
+
+    def warmup_all(
+        self,
+        policy: GenerationPolicy,
+        pred_policy: SamplingPolicy,
+        chunk_sizes=(8, 16),
+        max_prefill: Optional[int] = None,
+        max_tth: Optional[int] = None,
+    ) -> float:
+        """Compile EVERY (prefill bucket, tth bucket × chunk size) executable
+        so no later request hits a mid-serving compile stall (the reference's
+        mask-table design covers all lengths after one capture,
+        talker_graph.py:71-95; our bucketed design needs one compile per
+        bucket instead — VERDICT r1 next-step 5).  All programs land in the
+        persistent XLA compile cache, so across restarts this is a cache read.
+        Returns seconds."""
+        t0 = time.time()
+        B, H = self.batch, self.talker_cfg.hidden_size
+        key = jax.random.PRNGKey(0)
+        knobs = make_knobs(policy, pred_policy)
+        tpe = jnp.zeros((B, 1, H), self.dtype)
+        p_buckets = [b for b in PREFILL_BUCKETS
+                     if b <= min(max_prefill or self.max_seq_len, self.max_seq_len)]
+        t_buckets = [b for b in TTH_BUCKETS if b <= (max_tth or TTH_BUCKETS[-1])]
+        state = None
+        for Tb in p_buckets:
+            if state is not None:
+                self.release(state)  # recycle the KV buffer across compiles
+            embeds = jnp.zeros((B, Tb, H), self.dtype)
+            state = self._prefill_jit(
+                self.talker_params, embeds, jnp.zeros((B,), jnp.int32),
+                self.new_kv(), key, knobs, policy=policy.static,
+            )
+        for Tt in t_buckets:
+            tth = jnp.zeros((B, Tt, H), self.dtype)
+            for cs in dict.fromkeys(chunk_sizes):
+                state, _, _, _ = self.decode_chunk(
+                    state, tth, 0, tpe, policy, pred_policy, cs, knobs=knobs
+                )
+        jax.block_until_ready(state["token"])
+        self.release(state)
+        self._warmed_up = True
+        dt = time.time() - t0
+        logger.info(
+            "engine warmup_all (%d prefill buckets, %d tth buckets × %d chunk "
+            "sizes): %.1fs", len(p_buckets), len(t_buckets), len(set(chunk_sizes)), dt)
         return dt

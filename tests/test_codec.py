@@ -38,14 +38,47 @@ def test_strict_causality(codec):
     np.testing.assert_allclose(full[:, : 16 * cfg.total_upsample], prefix, atol=1e-5)
 
 
-def test_pad_count_equivalence(codec):
-    """Left-padded + masked window == unpadded decode of the same frames."""
+def _perturb_biases(params, eps=0.05):
+    """Set every bias/offset leaf to a nonzero constant.
+
+    Random init zeroes all biases, which would hide any padding scheme that
+    is only exact for zero biases (the round-1 left-pad masking bug —
+    ADVICE.md round 1, models/codec.py history)."""
+    def f(path, leaf):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if name in ("b", "norm_b", "beta1", "beta2", "out_beta", "beta"):
+            return leaf + eps
+        return leaf
+    return jax.tree_util.tree_map_with_path(f, params)
+
+
+def test_right_pad_equivalence_nonzero_biases(codec):
+    """Right-padded decode == unpadded decode on the valid prefix, even with
+    every bias nonzero (strict causality makes right-padding exact)."""
     params, cfg = codec
+    params = _perturb_biases(params)
     codes = _codes(cfg, 10)
     plain = np.asarray(C.decode(params, cfg, codes))
-    padded = jnp.concatenate([jnp.zeros((1, 6, cfg.num_quantizers), jnp.int32), codes], 1)
-    win = np.asarray(C.decode(params, cfg, padded, pad_count=jnp.array([6], jnp.int32)))
-    np.testing.assert_allclose(win[:, 6 * cfg.total_upsample :], plain, atol=1e-4)
+    padded = jnp.concatenate([codes, jnp.zeros((1, 6, cfg.num_quantizers), jnp.int32)], 1)
+    win = np.asarray(C.decode(params, cfg, padded))
+    np.testing.assert_allclose(win[:, : 10 * cfg.total_upsample], plain, atol=1e-4)
+
+
+def test_stream_decoder_exact_with_nonzero_biases(codec):
+    """StreamDecoder (fixed right-padded window) matches full decode with
+    perturbed biases — the end-to-end guard for the padding scheme."""
+    from qwen3tts_tpu.audio.vocoder import Vocoder
+
+    params, cfg = codec
+    params = _perturb_biases(params)
+    v = Vocoder(params, cfg, context_frames=25)
+    codes = np.asarray(_codes(cfg, 18)[0])
+    full = v.decode(codes)
+    sd = v.stream_decoder(chunk_size=6)
+    outs = [sd.feed(codes[i : i + 6]) for i in range(0, 18, 6)]
+    stream = np.concatenate(outs)
+    assert stream.shape == full.shape
+    np.testing.assert_allclose(outs[0], full[: len(outs[0])], atol=1e-5)
 
 
 def test_encode_shapes_and_range(codec):

@@ -81,18 +81,17 @@ def test_load_pretrained_missing_path_errors():
 
 def test_torch_layout_roundtrip(tiny_cfg):
     """export_torch_layout ∘ convert_torch_checkpoint == identity on the
-    talker+predictor halves (validates the upstream-name mapping)."""
+    FULL four-half bundle (validates the upstream-name mapping; the
+    through-disk version lives in test_torch_checkpoint.py)."""
     import jax
 
     from qwen3tts_tpu.core.loader import (convert_torch_checkpoint,
                                           export_torch_layout, init_random)
 
-    bundle = init_random(tiny_cfg, seed=11)
-    sub = {"talker": jax.tree.map(np.asarray, bundle["talker"]),
-           "predictor": jax.tree.map(np.asarray, bundle["predictor"])}
-    torch_style = export_torch_layout(sub, tiny_cfg)
+    bundle = jax.tree.map(np.asarray, init_random(tiny_cfg, seed=11))
+    torch_style = export_torch_layout(bundle, tiny_cfg)
     back = convert_torch_checkpoint(torch_style, tiny_cfg)
-    a, b = flatten(sub), flatten(back)
+    a, b = flatten(bundle), flatten(back)
     assert set(a) == set(b), set(a) ^ set(b)
     for k in a:
         np.testing.assert_array_equal(a[k], b[k], err_msg=k)

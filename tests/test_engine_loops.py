@@ -72,6 +72,30 @@ def test_parity_equals_fast(tiny_engine, prompt_inputs, fast_ids):
     np.testing.assert_array_equal(ids, fast_ids[0])
 
 
+def test_parity_streaming_equals_parity(tiny_engine, prompt_inputs):
+    """True streaming parity path (per-step, incremental yields) is
+    token-exact vs the non-streaming parity path (reference
+    parity_generate_streaming, streaming.py:192-359)."""
+    embeds, tth, tpe = prompt_inputs
+    ids, _ = loops.parity_generate(
+        tiny_engine, embeds, tth, tpe, key=KEY, max_new_tokens=11,
+        policy=POL, pred_policy=PPOL,
+    )
+    chunks = list(loops.parity_generate_streaming(
+        tiny_engine, embeds, tth, tpe, key=KEY, max_new_tokens=11,
+        policy=POL, pred_policy=PPOL, chunk_size=4,
+    ))
+    stream_ids = np.concatenate([c for c, _ in chunks], axis=0)
+    np.testing.assert_array_equal(stream_ids, ids)
+    sizes = [c.shape[0] for c, _ in chunks]
+    assert sizes[0] == 4  # yielded mid-generation, not one final slice
+    t0 = chunks[0][1]
+    assert set(t0) == {"chunk_index", "chunk_steps", "prefill_ms", "decode_ms",
+                       "total_steps_so_far", "is_final"}
+    assert t0["prefill_ms"] > 0 and not t0["is_final"]
+    assert chunks[-1][1]["is_final"]
+
+
 def test_budget_trim(tiny_engine, prompt_inputs):
     embeds, tth, tpe = prompt_inputs
     ids, _ = loops.fast_generate(
@@ -112,8 +136,36 @@ def test_cache_overflow_stops_cleanly(tiny_engine, prompt_inputs):
         tiny_engine, embeds, tth, tpe, key=KEY, max_new_tokens=500,
         policy=POL, pred_policy=PPOL, device_chunk=8,
     )
-    # prefill bucket 32 + steps must stay under max_seq_len=64
-    assert ids.shape[0] <= tiny_engine.max_seq_len - 32
+    # KV is compacted after prefill, so the budget is measured from the TRUE
+    # prefill length (10), not the padded bucket (32): the pad slots must NOT
+    # consume generation budget (ADVICE r1 engine.py:213).
+    true_len = embeds.shape[1]
+    assert ids.shape[0] <= tiny_engine.max_seq_len - true_len
+    assert ids.shape[0] > tiny_engine.max_seq_len - 32  # recovered pad budget
+
+
+def test_warmup_all_covers_every_bucket(tiny_cfg, tiny_models):
+    """After warmup_all, requests of ANY length (any prefill/tth bucket,
+    warmed chunk sizes) trigger ZERO new compiles — no mid-serving stall
+    (VERDICT r1 next-step 5)."""
+    from qwen3tts_tpu.runtime.engine import Engine
+
+    tp, pp = tiny_models
+    eng = Engine(tp, pp, tiny_cfg, max_seq_len=64)
+    eng.warmup_all(POL, PPOL, chunk_sizes=(4,), max_tth=64)
+    n_prefill = eng._prefill_jit._cache_size()
+    n_chunk = eng._chunk_jit._cache_size()
+    assert n_prefill == 2  # buckets 32, 64
+    assert n_chunk == 2    # tth buckets 16, 64 × chunk 4
+    H = tiny_cfg.talker.hidden_size
+    for T, Tt in ((3, 2), (10, 5), (40, 20), (60, 40)):
+        embeds = jnp.zeros((1, T, H), jnp.float32)
+        tth = jnp.zeros((1, Tt, H), jnp.float32)
+        loops.fast_generate(
+            eng, embeds, tth, jnp.zeros((1, 1, H), jnp.float32), key=KEY,
+            max_new_tokens=2, policy=POL, pred_policy=PPOL, device_chunk=4)
+    assert eng._prefill_jit._cache_size() == n_prefill  # zero new compiles
+    assert eng._chunk_jit._cache_size() == n_chunk
 
 
 def test_bucket_for():

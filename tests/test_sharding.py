@@ -62,6 +62,19 @@ def test_sharded_train_step_decreases_loss(shardable_cfg):
     assert losses[-1] < losses[0]  # learning on the fixed batch
 
 
+def test_sharded_inference_token_parity():
+    """The serving path (bucketed prefill + fused decode chunk) under tp=4
+    produces greedy tokens EXACTLY equal to the single-device run — the
+    SURVEY §2.4 escape hatch certified on inference, not just training
+    (VERDICT r1 next-step 2)."""
+    from qwen3tts_tpu.parallel.sharding import sharded_inference_check
+
+    mesh = make_mesh(8, dp=2, tp=4)
+    sharded, single = sharded_inference_check(mesh, steps=8)
+    assert sharded.shape == single.shape and sharded.shape[1] == 16
+    np.testing.assert_array_equal(sharded, single)
+
+
 def test_dryrun_entrypoint():
     import __graft_entry__ as g
 

@@ -1,0 +1,129 @@
+"""Real-checkpoint loop: upstream torch-layout checkpoints end-to-end.
+
+Synthesizes a fake upstream checkpoint directory (torch tensor names,
+[out,in]/[Cout,Cin,K] layouts, multi-file shards + index.json, HF-style
+config.json, tokenizer.json) and proves ``from_pretrained`` on it produces
+the same model as the canonical format — the zero-egress analog of loading
+the published Qwen3-TTS weights (reference model.py:71-152).
+"""
+import json
+
+import jax
+import numpy as np
+import pytest
+
+from qwen3tts_tpu.core import loader
+from qwen3tts_tpu.core.config import TTSModelConfig, normalize_model_size
+
+
+@pytest.fixture(scope="module")
+def bundles(tmp_path_factory):
+    """One tiny model written in BOTH formats (canonical + sharded torch)."""
+    from qwen3tts_tpu import FasterQwen3TTS
+
+    m = FasterQwen3TTS.from_pretrained("random:tiny")
+    host = jax.tree.map(np.asarray, m.params)
+    root = tmp_path_factory.mktemp("ckpts")
+    canon = root / "canonical"
+    torch_dir = root / "torch_layout"
+    m.save_pretrained(canon)
+    loader.export_torch_checkpoint(torch_dir, m.cfg, host, num_shards=3)
+    return m.cfg, host, canon, torch_dir
+
+
+def _flat_allclose(a, b):
+    fa, fb = loader.flatten(a), loader.flatten(b)
+    assert set(fa) == set(fb), set(fa) ^ set(fb)
+    for k in fa:
+        np.testing.assert_allclose(
+            np.asarray(fa[k], np.float32), np.asarray(fb[k], np.float32),
+            err_msg=k, atol=0)
+
+
+def test_torch_dir_layout(bundles):
+    """The synthesized dir has the upstream shape: HF config keys, shards,
+    index.json, torch names."""
+    _, _, _, torch_dir = bundles
+    raw = json.loads((torch_dir / "config.json").read_text())
+    assert "talker_config" in raw and "talker" not in raw
+    shards = sorted(p.name for p in torch_dir.glob("model-*-of-*.safetensors"))
+    assert len(shards) == 3
+    index = json.loads((torch_dir / "model.safetensors.index.json").read_text())
+    names = set(index["weight_map"])
+    assert any(n.startswith("talker.model.layers.0.self_attn.q_proj") for n in names)
+    assert any(n.startswith("speech_tokenizer.") for n in names)
+    assert any(n.startswith("speaker_encoder.") for n in names)
+    assert any(n.startswith("talker.code_predictor.lm_head.") for n in names)
+
+
+def test_torch_load_equals_canonical_load(bundles):
+    """load_checkpoint(torch dir) == load_checkpoint(canonical dir), leafwise."""
+    _, _, canon, torch_dir = bundles
+    cfg_a, a = loader.load_checkpoint(canon)
+    cfg_b, b = loader.load_checkpoint(torch_dir)
+    assert cfg_a.talker.hidden_size == cfg_b.talker.hidden_size
+    assert cfg_a.model_type == cfg_b.model_type
+    _flat_allclose(a, b)
+
+
+def test_from_pretrained_torch_dir_generates_same_tokens(bundles, ref_wav):
+    """Full loop: from_pretrained on the torch dir → generate → audio equal
+    to the canonical-format load of the same weights (VERDICT r1 item 1)."""
+    from qwen3tts_tpu import FasterQwen3TTS
+
+    _, _, canon, torch_dir = bundles
+    wavs = []
+    for d in (canon, torch_dir):
+        m = FasterQwen3TTS.from_pretrained(str(d), seed=3)
+        audio, sr = m.generate_voice_clone(
+            "hi", "english", ref_wav, "ref", max_new_tokens=12)
+        wavs.append(np.asarray(audio[0]))
+    assert wavs[0].shape == wavs[1].shape
+    np.testing.assert_allclose(wavs[0], wavs[1], atol=0)
+
+
+def test_missing_half_raises(bundles, tmp_path):
+    """A checkpoint missing the codec or speaker tensors must fail loudly."""
+    from safetensors.numpy import save_file
+
+    cfg, host, _, _ = bundles
+    named = loader.export_torch_layout(
+        {"talker": host["talker"], "predictor": host["predictor"]}, cfg)
+    d = tmp_path / "partial"
+    d.mkdir()
+    (d / "config.json").write_text(json.dumps(cfg.to_hf_dict()))
+    save_file(named, str(d / "model.safetensors"))
+    with pytest.raises(ValueError, match="speech_tokenizer"):
+        loader.load_checkpoint(d)
+
+
+def test_model_size_normalization():
+    assert normalize_model_size("0b6") == "0.6b"
+    assert normalize_model_size("0.6B") == "0.6b"
+    assert normalize_model_size("1b7") == "1.7b"
+    cfg = TTSModelConfig.from_dict({"tts_model_size": "0b6", "talker_config": {}})
+    assert cfg.model_size == "0.6b"
+
+
+def test_0_6b_drops_instruct_1_7b_keeps_it(tiny_cfg, monkeypatch):
+    """Reference model.py:849-850: the 0.6B CustomVoice model ignores
+    ``instruct``; 1.7B keeps it.  Round-1 shipped ``"0.6b" in "0b6"`` which
+    is always False — guard the normalized equality check."""
+    import dataclasses
+
+    from qwen3tts_tpu import FasterQwen3TTS
+    from qwen3tts_tpu.core.loader import init_random
+
+    seen = {}
+
+    def fake_prepare(self, text, language, speaker, instruct):
+        seen["instruct"] = instruct
+        raise RuntimeError("stop")
+
+    monkeypatch.setattr(FasterQwen3TTS, "_prepare_custom", fake_prepare)
+    for size, expect in (("0b6", None), ("1.7b", "whisper")):
+        cfg = dataclasses.replace(tiny_cfg, model_type="custom_voice", model_size=size)
+        m = FasterQwen3TTS(cfg, init_random(cfg, dtype=cfg.jnp_dtype))
+        with pytest.raises(RuntimeError):
+            m.generate_custom_voice("hi", "vivian", "english", instruct="whisper")
+        assert seen["instruct"] == expect, size
