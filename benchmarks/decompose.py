@@ -1,0 +1,172 @@
+#!/usr/bin/env python3
+"""Per-component decode-step decomposition on the real device.
+
+Times, in isolation: the talker decode step, the predictor 15-codebook
+frame, the fused one-step, the fused chunk (per-step), and the streaming
+vocoder window — the TPU analog of the reference's per-component table
+(README.md:388-395: talker 12 ms / predictor 26 ms / overhead 16 ms on
+Jetson).  Speed-of-light comparison: each component's HBM weight bytes /
+measured time.
+
+Usage: python benchmarks/decompose.py [--preset qwen3-tts-0.6b] [--iters 50]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")  # run from the repo root: python benchmarks/decompose.py
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def timeit(fn, iters, *, pipeline=False):
+    """Median wall per call.  pipeline=True: dispatch all, block once
+    (measures device-serial throughput, hiding host dispatch)."""
+    fn()  # warm
+    jax.effects_barrier()
+    if pipeline:
+        t0 = time.time()
+        out = None
+        for _ in range(iters):
+            out = fn()
+        jax.block_until_ready(out)
+        return (time.time() - t0) / iters
+    times = []
+    for _ in range(iters):
+        t0 = time.time()
+        jax.block_until_ready(fn())
+        times.append(time.time() - t0)
+    return float(np.median(times))
+
+
+def tree_bytes(t):
+    return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(t))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--preset", default="qwen3-tts-0.6b")
+    p.add_argument("--iters", type=int, default=50)
+    p.add_argument("--quantize", default=None)
+    args = p.parse_args()
+
+    from qwen3tts_tpu.core.loader import load_pretrained
+    from qwen3tts_tpu.core.presets import get_preset
+    from qwen3tts_tpu.models import predictor as predictor_lib
+    from qwen3tts_tpu.models import talker as talker_lib
+    from qwen3tts_tpu.models.predictor import SamplingPolicy
+    from qwen3tts_tpu.runtime.engine import Engine, GenerationPolicy, make_knobs
+
+    t0 = time.time()
+    cfg, params = load_pretrained(f"random:{args.preset}")
+    if args.quantize:
+        from qwen3tts_tpu.ops.quant import quantize_bundle
+        params = quantize_bundle(params)
+    eng = Engine(params["talker"], params["predictor"], cfg)
+    log(f"load: {time.time()-t0:.1f}s on {jax.devices()[0]}")
+
+    H = cfg.talker.hidden_size
+    dt = cfg.jnp_dtype
+    pol, ppol = GenerationPolicy(), SamplingPolicy()
+    knobs = make_knobs(pol, ppol)
+    key = jax.random.PRNGKey(0)
+    embeds = jnp.zeros((1, 32, H), dt)
+    tth = jnp.zeros((1, 16, H), dt)
+    tpe = jnp.zeros((1, 1, H), dt)
+
+    # --- build a decode state
+    state = eng.prefill(embeds, key, pol)
+    jax.block_until_ready(state["token"])
+
+    # --- talker decode step alone (jitted)
+    tcfg = cfg.talker
+    kv = jax.tree.map(jnp.copy, state["kv"])
+    x1 = jnp.zeros((1, 1, H), dt)
+
+    @jax.jit
+    def talker_step(x, pos, pad, kv):
+        h, kv = talker_lib.decode_step(params["talker"], tcfg, x, pos, pad, kv,
+                                       use_flash=eng.use_flash_decode)
+        return talker_lib.codec_head(params["talker"], h[:, 0, :]), kv
+
+    pos0 = state["pos"]
+    pad0 = state["pad_count"]
+
+    def run_talker():
+        nonlocal kv
+        logits, kv = talker_step(x1, pos0, pad0, kv)
+        return logits
+
+    t_talker = timeit(run_talker, args.iters, pipeline=True)
+
+    # --- predictor frame alone (jitted)
+    pred_in = jnp.zeros((1, 2, H), dt)
+
+    @jax.jit
+    def pred_frame(k):
+        return predictor_lib.predict_frame(
+            params["predictor"], cfg.predictor, pred_in, k, ppol.static,
+            temperature=jnp.float32(0.9), top_p=jnp.float32(1.0))
+
+    t_pred = timeit(lambda: pred_frame(key), args.iters, pipeline=True)
+
+    # --- fused one-step (engine path)
+    st = {k: (jax.tree.map(jnp.copy, v) if k == "kv" else v) for k, v in state.items()}
+
+    def run_step():
+        nonlocal st
+        st, frame = eng.decode_step(st, tth, 16, tpe, pol, ppol, knobs=knobs)
+        return frame
+
+    t_step = timeit(run_step, args.iters, pipeline=True)
+
+    # --- fused chunk (16 steps per program), per-step
+    st2 = eng.prefill(embeds, key, pol)
+
+    def run_chunk():
+        nonlocal st2
+        st2, frames, n, done = eng.decode_chunk(st2, tth, 0, tpe, pol, ppol, 16,
+                                                knobs=knobs)
+        return frames
+
+    t_chunk16 = timeit(run_chunk, max(4, args.iters // 8), pipeline=True) / 16
+
+    # --- streaming vocoder window (25 ctx + 8)
+    from qwen3tts_tpu.audio.vocoder import Vocoder
+    voc = Vocoder(params["codec"], cfg.codec)
+    codes = jnp.zeros((1, 33, cfg.codec.num_quantizers), jnp.int32)
+    voc_fn = lambda: voc._decode_jit(voc.params, codes=codes)
+    t_voc = timeit(voc_fn, max(4, args.iters // 4), pipeline=True)
+
+    talker_gb = tree_bytes(params["talker"]["blocks"]) / 1e9
+    pred_frame_gb = (tree_bytes(params["predictor"]["blocks"]) * 15
+                     + tree_bytes(params["predictor"]["lm_heads"])) / 1e9
+    out = {
+        "device": str(jax.devices()[0]),
+        "preset": args.preset,
+        "quantize": args.quantize,
+        "talker_step_ms": round(t_talker * 1e3, 3),
+        "predictor_frame_ms": round(t_pred * 1e3, 3),
+        "fused_step_ms": round(t_step * 1e3, 3),
+        "chunk16_per_step_ms": round(t_chunk16 * 1e3, 3),
+        "vocoder_window33_ms": round(t_voc * 1e3, 3),
+        "talker_weight_GB_per_step": round(talker_gb, 3),
+        "predictor_weight_GB_per_frame": round(pred_frame_gb, 3),
+        "talker_achieved_GBps": round(talker_gb / t_talker, 1),
+        "predictor_achieved_GBps": round(pred_frame_gb / t_pred, 1),
+    }
+    log(json.dumps(out, indent=2))
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

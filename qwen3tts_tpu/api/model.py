@@ -211,10 +211,28 @@ class FasterQwen3TTS:
         return out
 
     def _voice_prompt(self, ref_audio, ref_text, xvec_only, append_silence):
-        key = (str(ref_audio), ref_text, xvec_only, append_silence)
+        """ref_audio: path, or an in-memory ``(audio_f32, sr)`` tuple (used by
+        longform cross-segment conditioning).  Cache key: path string, or
+        sha1 of the raw samples (reference keys on the path only,
+        model.py:230-232)."""
+        if isinstance(ref_audio, tuple):
+            import hashlib
+
+            audio, sr = ref_audio
+            audio = np.asarray(audio, np.float32)
+            ident = hashlib.sha1(audio.tobytes()).hexdigest()
+        else:
+            ident = str(ref_audio)
+        key = (ident, ref_text, xvec_only, append_silence)
         if key in self._voice_prompt_cache:
             return self._voice_prompt_cache[key]
-        if xvec_only:
+        if isinstance(ref_audio, tuple):
+            if not xvec_only and append_silence:
+                audio = np.concatenate([audio, np.zeros(int(0.5 * sr), np.float32)])
+            vcp = self.create_voice_clone_prompt(
+                (audio, sr), "" if xvec_only else ref_text,
+                x_vector_only_mode=xvec_only)
+        elif xvec_only:
             vcp = self.create_voice_clone_prompt(ref_audio, "", x_vector_only_mode=True)
         else:
             silence = 0.5 if append_silence else 0.0

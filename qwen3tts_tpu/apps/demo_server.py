@@ -324,12 +324,28 @@ def make_handler(state: DemoState, index_html: Path):
     return Handler
 
 
-def serve(models=None, dtype="bf16", host="0.0.0.0", port=7860):
+def serve(models=None, dtype="bf16", host="0.0.0.0", port=7860, asr=None):
     state = DemoState(models or DEFAULT_MODELS, dtype)
+    state.asr = asr
     index = Path(__file__).parent / "demo" / "index.html"
     httpd = ThreadingHTTPServer((host, port), make_handler(state, index))
     logger.info("demo server on %s:%d", host, port)
     return httpd, state
+
+
+def resolve_asr(spec: Optional[str]):
+    """'module:callable' → ASR hook with signature (audio_f32, sr) -> str.
+    The reference wires nano-parakeet here (demo/server.py:44,225-248); in
+    this zero-egress image no ASR weights exist, so the hook is pluggable —
+    any installed ASR becomes one flag away."""
+    if not spec:
+        return None
+    import importlib
+
+    mod, _, fn = spec.partition(":")
+    hook = getattr(importlib.import_module(mod), fn or "transcribe")
+    logger.info("ASR hook registered: %s", spec)
+    return hook
 
 
 def main(argv=None):
@@ -339,8 +355,12 @@ def main(argv=None):
     p.add_argument("--dtype", default="bf16")
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=7860)
+    p.add_argument("--asr", default=None,
+                   help="ASR hook 'module:callable' with signature "
+                        "(audio_f32, sr) -> str; /transcribe returns 501 without it")
     args = p.parse_args(argv)
-    httpd, _ = serve(args.models, args.dtype, args.host, args.port)
+    httpd, _ = serve(args.models, args.dtype, args.host, args.port,
+                     asr=resolve_asr(args.asr))
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:

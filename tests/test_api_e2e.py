@@ -93,6 +93,22 @@ def test_longform_split_and_generate(tiny_tts, ref_wav):
     assert len(wav) >= 2 * 4 * 2000 + int(0.05 * sr)
 
 
+def test_longform_cross_segment_conditioning(tiny_tts, ref_wav):
+    """condition_on_previous=True: segment 2+ uses the previous segment's
+    (audio, transcript) as a full-ICL reference — prosody continuity across
+    sentence boundaries (TODO r1 quality item)."""
+    from qwen3tts_tpu.api.longform import generate_longform
+
+    n_prompts_before = len(tiny_tts._voice_prompt_cache)
+    wav, sr = generate_longform(
+        tiny_tts, "First sentence. Second sentence.", "English", ref_wav, "r",
+        max_chars=20, max_new_tokens=4, gap_ms=50, condition_on_previous=True)
+    assert len(wav) >= 2 * 4 * 2000
+    # segment 2 created an ICL prompt keyed on segment 1's generated audio
+    new_keys = list(tiny_tts._voice_prompt_cache)[n_prompts_before:]
+    assert any(len(k[0]) == 40 and not k[2] for k in new_keys)  # sha1 key, icl
+
+
 def test_longform_streaming_segments(tiny_tts, ref_wav):
     from qwen3tts_tpu.api.longform import generate_longform_streaming
 
