@@ -13,6 +13,7 @@ Usage: python benchmarks/decompose.py [--preset qwen3-tts-0.6b] [--iters 50]
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import sys
 import time
@@ -31,8 +32,8 @@ def log(*a):
 def timeit(fn, iters, *, pipeline=False):
     """Median wall per call.  pipeline=True: dispatch all, block once
     (measures device-serial throughput, hiding host dispatch)."""
-    fn()  # warm
-    jax.effects_barrier()
+    jax.block_until_ready(fn())  # warm (compile)
+    log(f"  compiled, timing {iters} iters...")
     if pipeline:
         t0 = time.time()
         out = None
@@ -57,6 +58,7 @@ def main():
     p.add_argument("--preset", default="qwen3-tts-0.6b")
     p.add_argument("--iters", type=int, default=50)
     p.add_argument("--quantize", default=None)
+    p.add_argument("--no-flash", action="store_true")
     args = p.parse_args()
 
     from qwen3tts_tpu.core.loader import load_pretrained
@@ -71,7 +73,8 @@ def main():
     if args.quantize:
         from qwen3tts_tpu.ops.quant import quantize_bundle
         params = quantize_bundle(params)
-    eng = Engine(params["talker"], params["predictor"], cfg)
+    eng = Engine(params["talker"], params["predictor"], cfg,
+                 use_flash_decode=False if args.no_flash else None)
     log(f"load: {time.time()-t0:.1f}s on {jax.devices()[0]}")
 
     H = cfg.talker.hidden_size
@@ -84,40 +87,50 @@ def main():
     tpe = jnp.zeros((1, 1, H), dt)
 
     # --- build a decode state
+    log("prefill (compile)...")
     state = eng.prefill(embeds, key, pol)
     jax.block_until_ready(state["token"])
+    log("prefill done")
 
-    # --- talker decode step alone (jitted)
+    # --- talker decode step alone.  Params are ARGUMENTS (a closure capture
+    #     would bake 1.2 GB of weights into the HLO as constants — the remote
+    #     compile never finishes).  kv donated, or iters in-flight copies of
+    #     the 235 MB cache exhaust HBM and stall the dispatch queue.
     tcfg = cfg.talker
     kv = jax.tree.map(jnp.copy, state["kv"])
     x1 = jnp.zeros((1, 1, H), dt)
 
-    @jax.jit
-    def talker_step(x, pos, pad, kv):
-        h, kv = talker_lib.decode_step(params["talker"], tcfg, x, pos, pad, kv,
+    @functools.partial(jax.jit, donate_argnames=("kv",))
+    def talker_step(tp, x, pos, pad, kv):
+        h, kv = talker_lib.decode_step(tp, tcfg, x, pos, pad, kv,
                                        use_flash=eng.use_flash_decode)
-        return talker_lib.codec_head(params["talker"], h[:, 0, :]), kv
+        return talker_lib.codec_head(tp, h[:, 0, :]), kv
 
     pos0 = state["pos"]
     pad0 = state["pad_count"]
 
     def run_talker():
         nonlocal kv
-        logits, kv = talker_step(x1, pos0, pad0, kv)
+        logits, kv = talker_step(params["talker"], x1, pos0, pad0, kv)
         return logits
 
+    log("talker_step: compiling...")
     t_talker = timeit(run_talker, args.iters, pipeline=True)
+    log(f"talker_step: {t_talker*1e3:.2f} ms")
 
-    # --- predictor frame alone (jitted)
+    # --- predictor frame alone (jitted; params as args, as above)
     pred_in = jnp.zeros((1, 2, H), dt)
 
     @jax.jit
-    def pred_frame(k):
+    def pred_frame(pp, k):
         return predictor_lib.predict_frame(
-            params["predictor"], cfg.predictor, pred_in, k, ppol.static,
+            pp, cfg.predictor, pred_in, k, ppol.static,
             temperature=jnp.float32(0.9), top_p=jnp.float32(1.0))
 
-    t_pred = timeit(lambda: pred_frame(key), args.iters, pipeline=True)
+    log("pred_frame: compiling...")
+    t_pred = timeit(lambda: pred_frame(params["predictor"], key),
+                    args.iters, pipeline=True)
+    log(f"pred_frame: {t_pred*1e3:.2f} ms")
 
     # --- fused one-step (engine path)
     st = {k: (jax.tree.map(jnp.copy, v) if k == "kv" else v) for k, v in state.items()}
@@ -127,18 +140,22 @@ def main():
         st, frame = eng.decode_step(st, tth, 16, tpe, pol, ppol, knobs=knobs)
         return frame
 
+    log("fused step: running...")
     t_step = timeit(run_step, args.iters, pipeline=True)
+    log(f"fused step: {t_step*1e3:.2f} ms")
 
     # --- fused chunk (16 steps per program), per-step
     st2 = eng.prefill(embeds, key, pol)
 
     def run_chunk():
         nonlocal st2
-        st2, frames, n, done = eng.decode_chunk(st2, tth, 0, tpe, pol, ppol, 16,
-                                                knobs=knobs)
+        st2, frames, n, lens, done = eng.decode_chunk(st2, tth, 0, tpe, pol,
+                                                      ppol, 16, knobs=knobs)
         return frames
 
+    log("chunk16: running...")
     t_chunk16 = timeit(run_chunk, max(4, args.iters // 8), pipeline=True) / 16
+    log(f"chunk16/step: {t_chunk16*1e3:.2f} ms")
 
     # --- streaming vocoder window (25 ctx + 8)
     from qwen3tts_tpu.audio.vocoder import Vocoder

@@ -372,6 +372,90 @@ class FasterQwen3TTS:
             )
         return self._finish_audio(codec_ids, ref_codes, timing)
 
+    def _batch_engine(self, batch: int) -> Engine:
+        """Engines share params; one per batch size, lazily built (the
+        reference is strictly batch-1 — SURVEY §2.4 — so this whole mode is
+        beyond-reference throughput capability)."""
+        if batch == 1:
+            return self.engine
+        if not hasattr(self, "_batch_engines"):
+            self._batch_engines: Dict[int, Engine] = {}
+        if batch not in self._batch_engines:
+            self._batch_engines[batch] = Engine(
+                self.params["talker"], self.params["predictor"], self.cfg,
+                max_seq_len=self.max_seq_len, batch=batch)
+        return self._batch_engines[batch]
+
+    def generate_voice_clone_batch(
+        self,
+        texts: list,
+        language: str,
+        ref_audio: Union[str, Path],
+        ref_text: str,
+        max_new_tokens: int = 2048,
+        min_new_tokens: int = 2,
+        temperature: float = 0.9,
+        top_k: int = 50,
+        top_p: float = 1.0,
+        do_sample: bool = True,
+        repetition_penalty: float = 1.05,
+        xvec_only: bool = True,
+        non_streaming_mode: bool = True,
+        append_silence: bool = True,
+        instruct: Optional[str] = None,
+    ) -> Tuple[list, int]:
+        """Batched voice clone: synthesize ``len(texts)`` utterances in ONE
+        engine pass (shared voice prompt, per-row prompts/EOS).  Returns
+        ([B] waveforms, sample_rate).  Throughput mode — per-utterance
+        latency is higher than batch-1, total frames/s is much higher."""
+        B = len(texts)
+        if B == 0:
+            return [], self.sample_rate
+        rows = [self._prepare_clone(t, ref_audio, ref_text, language, xvec_only,
+                                    non_streaming_mode, append_silence, instruct)
+                for t in texts]
+        ref_codes = rows[0][3]
+        H = self.cfg.talker.hidden_size
+        T = max(r[0].shape[1] for r in rows)
+        Tt = max(max(r[1].shape[1] for r in rows), 1)
+        embeds = np.zeros((B, T, H), np.float32)
+        trailing = np.zeros((B, Tt, H), np.float32)
+        tpe = np.zeros((B, 1, H), np.float32)
+        pads = np.zeros((B,), np.int32)
+        tth_lens = np.zeros((B,), np.int32)
+        for b, (e, t, p, _) in enumerate(rows):
+            e, t, p = np.asarray(e, np.float32), np.asarray(t, np.float32), np.asarray(p, np.float32)
+            pads[b] = T - e.shape[1]
+            embeds[b, pads[b]:] = e[0]
+            trailing[b, : t.shape[1]] = t[0]
+            trailing[b, t.shape[1]:] = p[0]  # pad rows with tts_pad embed
+            tth_lens[b] = t.shape[1]
+            tpe[b] = p[0]
+        embeds_d, trailing_d, tpe_d = self._to_device(embeds, trailing, tpe)
+        pol, ppol = self._policies(temperature, top_k, top_p, do_sample,
+                                   repetition_penalty, min_new_tokens)
+        eng = self._batch_engine(B)
+        ids_rows, timing = loops.fast_generate_batch(
+            eng, embeds_d, trailing_d, tpe_d, key=self._next_key(),
+            pad_count=pads, tth_lens=tth_lens, max_new_tokens=max_new_tokens,
+            policy=pol, pred_policy=ppol)
+        wavs = []
+        for ids in ids_rows:
+            if ids.shape[0] == 0:
+                wavs.append(np.zeros(1, np.float32))
+                continue
+            if ref_codes is not None and len(ref_codes):
+                codes = np.concatenate([np.asarray(ref_codes), ids], axis=0)
+                wav = self.vocoder.decode(codes)[len(ref_codes) * self.vocoder.spf:]
+            else:
+                wav = self.vocoder.decode(ids)
+            wavs.append(wav)
+        total_audio = sum(len(w) for w in wavs) / self.sample_rate
+        wall = timing["prefill_ms"] / 1000 + timing["decode_s"]
+        logger.info("Batch %d: %.2fs audio in %.2fs (throughput RTF %.2f)",
+                    B, total_audio, wall, total_audio / wall if wall else 0)
+        return wavs, self.sample_rate
+
     def generate_voice_clone_streaming(
         self,
         text: str,

@@ -183,6 +183,32 @@ def cmd_serve(args):
         idx += 1
 
 
+def cmd_export_fixture(args):
+    from ..core.fixtures import export_model_fixture
+
+    model = _load_model(args)
+    meta = export_model_fixture(
+        model, args.output, text=args.text, speaker=args.speaker,
+        seed=args.fixture_seed,
+        max_new_tokens=min(args.max_new_tokens, 256))
+    print(f"Wrote {args.output}: {meta}")
+
+
+def cmd_check_fixture(args):
+    from ..core.fixtures import check_model_fixture
+
+    model = _load_model(args)
+    failed = 0
+    for fx in args.fixtures:
+        try:
+            check_model_fixture(model, fx)
+            print(f"PASS {fx}")
+        except AssertionError as e:
+            failed += 1
+            print(f"FAIL {fx}: {e}")
+    sys.exit(1 if failed else 0)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="qwen3tts-tpu",
@@ -249,6 +275,21 @@ def build_parser() -> argparse.ArgumentParser:
                    default=True)
     s.add_argument("--output-dir", default=".")
     s.set_defaults(fn=cmd_serve)
+
+    # golden parity fixtures (reference test layer 1; core/fixtures.py)
+    fx = sub.add_parser("export-fixture",
+                        help="export a golden parity fixture (.npz) from this model")
+    common(fx)
+    fx.add_argument("--text", required=True)
+    fx.add_argument("--fixture-seed", type=int, default=1337)
+    fx.add_argument("--speaker", default=None, help="CustomVoice speaker (else plain)")
+    fx.set_defaults(fn=cmd_export_fixture)
+
+    cf = sub.add_parser("check-fixture",
+                        help="replay golden fixtures against this model (exact parity)")
+    common(cf)
+    cf.add_argument("fixtures", nargs="+")
+    cf.set_defaults(fn=cmd_check_fixture)
     return p
 
 

@@ -99,14 +99,17 @@ def export_model_fixture(
     from ..runtime.engine import GenerationPolicy
 
     if speaker is not None:
+        host_embeds = None  # custom path has no host-side checksum contract
         embeds, trailing, tpe = model._prepare_custom(text, language, speaker, None)
         mode = "custom"
     else:
-        embeds, trailing, tpe = (jax.numpy.asarray(a) for a in model.prompt_builder.build(
+        # checksum the HOST f32 prompt (check_model_fixture hashes the same
+        # representation — before the model-dtype cast)
+        host_embeds, t, p = model.prompt_builder.build(
             input_ids=model.tokenizer.build_assistant_ids(text),
             language=language, non_streaming_mode=True,
-        ))
-        embeds, trailing, tpe = model._to_device(embeds, trailing, tpe)
+        )
+        embeds, trailing, tpe = model._to_device(host_embeds, t, p)
         mode = "plain"
     pol = GenerationPolicy(do_sample=False)
     ppol = SamplingPolicy(do_sample=False)
@@ -119,8 +122,10 @@ def export_model_fixture(
     meta = {"text": text, "language": language, "speaker": speaker,
             "mode": mode, "seed": seed, "max_new_tokens": max_new_tokens,
             "greedy": True}
-    export_fixture(path, tokens=np.asarray(tokens), prefill_embeds=np.asarray(embeds),
-                   meta=meta, store_embeds=store_embeds)
+    export_fixture(
+        path, tokens=np.asarray(tokens),
+        prefill_embeds=np.asarray(host_embeds if host_embeds is not None else embeds),
+        meta=meta, store_embeds=store_embeds)
     return meta
 
 

@@ -101,6 +101,20 @@ def _proj(params: Params, x: jnp.ndarray) -> jnp.ndarray:
     return x @ p["w"] + p["b"]
 
 
+def _lm_logits(params: Params, cb, h: jnp.ndarray) -> jnp.ndarray:
+    """h [B, Hp] @ lm_heads[cb] → f32 logits [B, CB]; supports the int8
+    weight-only quantized form (ops/quant.py — the 15 heads are read in full
+    every frame, so they are on the quantized decode path)."""
+    from ..ops.quant import is_quantized
+
+    lm = params["lm_heads"]
+    if is_quantized(lm):
+        y = jnp.matmul(h, lm["q"][cb].astype(h.dtype),
+                       preferred_element_type=jnp.float32)
+        return y * lm["scale"][cb].astype(jnp.float32)
+    return (h @ lm[cb]).astype(jnp.float32)
+
+
 def _rope(cfg: PredictorConfig, pos_1d: jnp.ndarray):
     return mrope_cos_sin(
         jnp.broadcast_to(pos_1d[None], (3,) + pos_1d.shape),
@@ -143,7 +157,7 @@ def predict_frame(
     h, kv = stack_forward(params["blocks"], h, cos, sin, kv, jnp.int32(0), m, spec)
     h = rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
 
-    logits0 = (h[:, -1, :] @ params["lm_heads"][0]).astype(jnp.float32)
+    logits0 = _lm_logits(params, 0, h[:, -1, :])
     key, k0 = jax.random.split(key)
     tok0 = sample_logits(
         k0,
@@ -167,7 +181,7 @@ def predict_frame(
         m_d = decode_mask(S, pos, zero_pad, cfg.sliding_window)
         x, kv_c = stack_forward(params["blocks"], x, cos_d, sin_d, kv_c, pos, m_d, spec)
         x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-        logits = (x[:, -1, :] @ params["lm_heads"][cb]).astype(jnp.float32)
+        logits = _lm_logits(params, cb, x[:, -1, :])
         tok = sample_logits(
             ks,
             logits,

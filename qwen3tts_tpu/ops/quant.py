@@ -48,11 +48,18 @@ def quantize_block_stack(blocks: Dict[str, jnp.ndarray]) -> Dict[str, Any]:
 
 
 def quantize_bundle(bundle: Dict[str, Any]) -> Dict[str, Any]:
-    """Quantize the talker + predictor decode-path weights in a param bundle."""
+    """Quantize the talker + predictor decode-path weights in a param bundle.
+
+    Beyond the block projections, the predictor's per-codebook lm_heads are
+    quantized too: they are read in FULL every frame (15 × [Hp, CB] ≈ 60 MB
+    bf16 per frame — benchmarks/decompose.py), unlike embeddings which are
+    row-gathered."""
     out = dict(bundle)
     for part in ("talker", "predictor"):
         p = dict(bundle[part])
         p["blocks"] = quantize_block_stack(p["blocks"])
+        if part == "predictor":
+            p["lm_heads"] = quantize_tensor(p["lm_heads"])
         out[part] = p
     return out
 

@@ -124,13 +124,6 @@ class Engine:
         self.talker_params = talker_params
         self.predictor_params = predictor_params
         self.max_seq_len = max_seq_len
-        if batch != 1:
-            raise NotImplementedError(
-                "Engine is batch-1 (matching the reference's scope, SURVEY "
-                "§2.4): the KV compaction roll, EOS check, repetition-penalty "
-                "history and flash-decode all assume B==1. Batched serving "
-                "needs per-row pos/EOS state — see TODO.md."
-            )
         self.batch = batch
         self.dtype = cfg.jnp_dtype
         self.eos_id = cfg.talker.codec_eos_token_id
@@ -200,14 +193,16 @@ class Engine:
         last, logits, kv = talker_lib.prefill(
             talker_params, self.talker_cfg, embeds, pad_count, kv
         )
-        # Compact the cache: roll the left-pad rows out so the live prefix
-        # starts at row 0 and ``pos`` starts at the TRUE prefill length.
+        # Compact the cache: roll the shared left-pad out so the live prefix
+        # starts near row 0 and ``pos`` starts at the TRUE max prefill length.
         # Recovers the generation budget the bucket padding would otherwise
         # consume (stop condition is pos < max_seq_len-1), shrinks every
-        # decode step's attention read to the live prefix, and zeroes
+        # decode step's attention read to the live prefix, and reduces
         # pad_count for the whole decode phase.  One fused O(cache) move,
-        # amortized over the generation.  (batch-1 semantics: pad_count[0].)
-        roll = pad_count[0]
+        # amortized over the generation.  The roll amount is min over the
+        # batch (the cache position axis is shared across rows); for B==1
+        # this is full compaction.
+        roll = jnp.min(pad_count)
         kv = {
             "k": jnp.roll(kv["k"], -roll, axis=2),
             "v": jnp.roll(kv["v"], -roll, axis=2),
@@ -225,15 +220,17 @@ class Engine:
             suppress_eos=knobs[3] > 0,
             eos_id=self.eos_id,
         )
+        token = token.astype(jnp.int32)
         state = {
             "kv": kv,
             "past_hidden": last,
-            "token": token.astype(jnp.int32),
+            "token": token,
             "pos": jnp.int32(embeds.shape[1]) - roll.astype(jnp.int32),
-            "pad_count": jnp.zeros_like(pad_count, jnp.int32),
+            "pad_count": (pad_count - roll).astype(jnp.int32),
             "gen_step": jnp.int32(0),
-            "seen": jnp.zeros((self.talker_cfg.vocab_size,), bool),
+            "seen": jnp.zeros((embeds.shape[0], self.talker_cfg.vocab_size), bool),
             "n_gen": jnp.int32(0),
+            "done": token == self.eos_id,  # [B]
             "key": key,
         }
         return state
@@ -285,7 +282,9 @@ class Engine:
         policy: StaticPolicy,
         pred_policy: predictor_lib.StaticPolicy,
     ) -> Tuple[Dict, jnp.ndarray]:
-        """One full frame step.  Caller guarantees state['token'] != EOS."""
+        """One full frame step.  Rows whose ``done`` flag is set still flow
+        through the math (their outputs are masked by the caller via the
+        per-row length counts) — the batch stops when ALL rows are done."""
         tcfg, pcfg = self.talker_cfg, self.pred_cfg
         token = state["token"]  # [B]
         key = state["key"]
@@ -318,9 +317,10 @@ class Engine:
         )
         logits = talker_lib.codec_head(talker_params, hidden[:, 0, :])
 
-        # --- repetition penalty over codebook-0 history incl. current token
-        #     (reference generate.py:184-186)
-        seen = state["seen"].at[token[0]].set(True)
+        # --- repetition penalty over codebook-0 history incl. current token,
+        #     per batch row (reference generate.py:184-186)
+        B = token.shape[0]
+        seen = state["seen"].at[jnp.arange(B), token].set(True)
         if policy.use_rep_penalty:
             logits = apply_repetition_penalty(logits, seen, knobs[2])
 
@@ -339,15 +339,17 @@ class Engine:
             eos_id=self.eos_id,
         )
 
+        next_token = next_token.astype(jnp.int32)
         new_state = {
             "kv": kv,
             "past_hidden": hidden,
-            "token": next_token.astype(jnp.int32),
+            "token": next_token,
             "pos": state["pos"] + 1,
             "pad_count": state["pad_count"],
             "gen_step": state["gen_step"] + 1,
             "seen": seen,
             "n_gen": n_gen,
+            "done": state["done"] | (next_token == self.eos_id),
             "key": key,
         }
         return new_state, frame
@@ -389,33 +391,39 @@ class Engine:
     ):
         B = self.batch
         frames0 = jnp.zeros((B, chunk_size, 16), jnp.int32)
+        lens0 = jnp.zeros((B,), jnp.int32)  # per-row VALID frames this chunk
         limit = jnp.int32(self.max_seq_len - 1)
 
         def cond(carry):
-            st, _, n = carry
+            st, _, _, n = carry
             return (
                 (n < chunk_size)
-                & (st["token"][0] != self.eos_id)
+                & ~jnp.all(st["done"])
                 & (st["pos"] < limit)
             )
 
         def body(carry):
-            st, frames, n = carry
+            st, frames, lens, n = carry
+            live = ~st["done"]  # rows still generating at entry to this step
             st, frame = self._one_step(
                 talker_params, pred_params, st, tth, tth_len, tpe, knobs,
                 policy, pred_policy,
             )
             frames = jax.lax.dynamic_update_slice(frames, frame[:, None, :], (0, n, 0))
-            return st, frames, n + 1
+            return st, frames, lens + live.astype(jnp.int32), n + 1
 
-        state, frames, n = jax.lax.while_loop(cond, body, (state, frames0, jnp.int32(0)))
-        done = (state["token"][0] == self.eos_id) | (state["pos"] >= limit)
-        return state, frames, n, done
+        state, frames, lens, n = jax.lax.while_loop(
+            cond, body, (state, frames0, lens0, jnp.int32(0)))
+        done = jnp.all(state["done"]) | (state["pos"] >= limit)
+        return state, frames, n, lens, done
 
     def decode_chunk(self, state, tth, tth_len, tpe, policy, pred_policy,
                      chunk_size, knobs=None):
         """Run up to chunk_size fused steps in one device program.
-        Returns (state, frames [B,chunk,16], n_valid, done) — one host sync."""
+        Returns (state, frames [B,chunk,16], n_steps, lens [B], done) — one
+        host sync.  ``lens[b]`` = row b's VALID frames within this chunk
+        (rows freeze at their EOS; a done row's later frames are garbage and
+        must be dropped).  ``done`` = every row finished or cache full."""
         if knobs is None:
             knobs = make_knobs(policy, pred_policy)
         return self._chunk_jit(
@@ -452,7 +460,7 @@ class Engine:
             key, knobs, policy=policy.static,
         )
         for cs in chunk_sizes:
-            state, frames, n, done = self.decode_chunk(
+            state, frames, n, lens, done = self.decode_chunk(
                 state, tth, 0, tpe, policy, pred_policy, cs, knobs=knobs
             )
         jax.block_until_ready(state)
@@ -496,7 +504,7 @@ class Engine:
         for Tt in t_buckets:
             tth = jnp.zeros((B, Tt, H), self.dtype)
             for cs in dict.fromkeys(chunk_sizes):
-                state, _, _, _ = self.decode_chunk(
+                state, _, _, _, _ = self.decode_chunk(
                     state, tth, 0, tpe, policy, pred_policy, cs, knobs=knobs
                 )
         jax.block_until_ready(state["token"])

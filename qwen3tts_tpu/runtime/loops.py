@@ -68,13 +68,14 @@ def _chunk_iter(
     pending = engine.decode_chunk(state, tth, tth_len_dev, tpe, policy,
                                   pred_policy, size_at(0), knobs=knobs)
     while True:
-        state, frames, n, done = pending
+        state, frames, n, lens, done = pending
         may_continue = emitted + size_at(i) < max_new_tokens
         if may_continue:
             # speculative dispatch: enqueued on-device before we block on k
             pending = engine.decode_chunk(state, tth, tth_len_dev, tpe, policy,
                                           pred_policy, size_at(i + 1), knobs=knobs)
-        frames_np, n_val, done_val = jax.device_get((frames, n, done))  # 1 sync
+        frames_np, n_val, lens_np, done_val = jax.device_get(
+            (frames, n, lens, done))  # 1 sync
         n_val = min(int(n_val), max_new_tokens - emitted)
         emitted += n_val
         done_val = bool(done_val) or emitted >= max_new_tokens
@@ -82,7 +83,7 @@ def _chunk_iter(
         if finished:
             # recycle the final KV buffer (from the last dispatched chunk)
             engine.release(pending[0] if may_continue else state)
-        yield frames_np[0, :n_val], done_val
+        yield frames_np[:, :n_val], np.minimum(lens_np, n_val), done_val
         if finished:
             return
         i += 1
@@ -110,12 +111,12 @@ def fast_generate(
 
     t1 = time.time()
     chunks = []
-    for frames_np, done in _chunk_iter(
+    for frames_np, lens, done in _chunk_iter(
         engine, state, tth, tth_len, tts_pad_embed, policy, pred_policy,
         device_chunk, max_new_tokens,
     ):
-        if len(frames_np):
-            chunks.append(frames_np)
+        if lens[0]:
+            chunks.append(frames_np[0, : lens[0]])
     t_decode = time.time() - t1
 
     steps = sum(c.shape[0] for c in chunks)
@@ -159,10 +160,11 @@ def fast_generate_streaming(
     total_steps = 0
     chunk_count = 0
     chunk_start = time.time()
-    for frames_np, done in _chunk_iter(
+    for frames_np, lens, done in _chunk_iter(
         engine, state, tth, tth_len, tts_pad_embed, policy, pred_policy,
         chunk_size, max_new_tokens, first_chunks=first_chunks,
     ):
+        frames_np = frames_np[0, : lens[0]]
         n = frames_np.shape[0]
         if n == 0:
             break
@@ -178,6 +180,67 @@ def fast_generate_streaming(
         }
         chunk_count += 1
         chunk_start = time.time()
+
+
+def fast_generate_batch(
+    engine: Engine,
+    talker_input_embeds: jnp.ndarray,  # [B, T, H] left-padded per row
+    trailing_text_hiddens: jnp.ndarray,  # [B, Ttth, H] (pad rows w/ tts_pad)
+    tts_pad_embed: jnp.ndarray,  # [B, 1, H]
+    *,
+    key: jax.Array,
+    pad_count: Optional[np.ndarray] = None,  # [B] per-row left-pad
+    tth_lens: Optional[np.ndarray] = None,  # [B] true per-row tth lengths
+    max_new_tokens: int = 2048,
+    policy: GenerationPolicy = GenerationPolicy(),
+    pred_policy: SamplingPolicy = SamplingPolicy(),
+    device_chunk: int = 16,
+) -> Tuple[list, Dict]:
+    """Batched decode: B prompts generate together in one engine pass —
+    the throughput-per-chip mode the reference does not have (it is strictly
+    batch-1, SURVEY §2.4).  Rows finish at their own EOS; garbage frames
+    after a row's EOS are dropped via the per-row length counts.
+
+    Returns ([B] list of [steps_b, 16] arrays, timing).  Note: ``tth``
+    consumption is indexed by the shared step counter, so per-row trailing
+    text stops at ``tth_lens`` via the tts_pad fallback per row... shared
+    ``tth_len`` scalar uses max(tth_lens); rows with shorter text get
+    tts_pad embeds from their own padded rows (callers pad tth rows with
+    tts_pad_embed, so the content is correct per row)."""
+    B = talker_input_embeds.shape[0]
+    assert engine.batch == B, f"Engine(batch={engine.batch}) vs input B={B}"
+    t0 = time.time()
+    tth, tth_len = _pad_tth(trailing_text_hiddens, tts_pad_embed, bucketed=True)
+    if tth_lens is not None:
+        tth_len = int(np.max(tth_lens))
+    state = engine.prefill(talker_input_embeds, key, policy,
+                           pred_policy=pred_policy, pad_count=pad_count)
+    jax.block_until_ready(state["token"])
+    t_prefill = time.time() - t0
+
+    t1 = time.time()
+    rows = [[] for _ in range(B)]
+    for frames_np, lens, done in _chunk_iter(
+        engine, state, tth, tth_len, tts_pad_embed, policy, pred_policy,
+        device_chunk, max_new_tokens,
+    ):
+        for b in range(B):
+            if lens[b]:
+                rows[b].append(frames_np[b, : lens[b]])
+    t_decode = time.time() - t1
+
+    out = [np.concatenate(r, axis=0) if r else np.zeros((0, 16), np.int32)
+           for r in rows]
+    steps = sum(o.shape[0] for o in out)
+    timing = {
+        "prefill_ms": t_prefill * 1000,
+        "decode_s": t_decode,
+        "steps": steps,
+        "ms_per_step": (t_decode / steps * 1000) if steps else 0.0,
+        "steps_per_s": (steps / t_decode) if t_decode > 0 else 0.0,
+        "batch": B,
+    }
+    return out, timing
 
 
 def parity_generate(
