@@ -59,6 +59,7 @@ def main():
     p.add_argument("--iters", type=int, default=50)
     p.add_argument("--quantize", default=None)
     p.add_argument("--no-flash", action="store_true")
+    p.add_argument("--unroll", type=int, default=1)
     args = p.parse_args()
 
     from qwen3tts_tpu.core.loader import load_pretrained
@@ -74,7 +75,8 @@ def main():
         from qwen3tts_tpu.ops.quant import quantize_bundle
         params = quantize_bundle(params)
     eng = Engine(params["talker"], params["predictor"], cfg,
-                 use_flash_decode=False if args.no_flash else None)
+                 use_flash_decode=False if args.no_flash else None,
+                 scan_unroll=args.unroll)
     log(f"load: {time.time()-t0:.1f}s on {jax.devices()[0]}")
 
     H = cfg.talker.hidden_size
@@ -103,7 +105,8 @@ def main():
     @functools.partial(jax.jit, donate_argnames=("kv",))
     def talker_step(tp, x, pos, pad, kv):
         h, kv = talker_lib.decode_step(tp, tcfg, x, pos, pad, kv,
-                                       use_flash=eng.use_flash_decode)
+                                       use_flash=eng.use_flash_decode,
+                                       unroll=eng.scan_unroll)
         return talker_lib.codec_head(tp, h[:, 0, :]), kv
 
     pos0 = state["pos"]

@@ -63,6 +63,7 @@ class FasterQwen3TTS:
         max_seq_len: int = 2048,
         seed: int = 0,
         tokenizer_json: Optional[str] = None,
+        vocoder_compute_dtype=jnp.bfloat16,
     ):
         self.cfg = cfg
         self.params = params
@@ -71,7 +72,8 @@ class FasterQwen3TTS:
         self.engine = Engine(
             params["talker"], params["predictor"], cfg, max_seq_len=max_seq_len
         )
-        self.vocoder = Vocoder(params["codec"], cfg.codec)
+        self.vocoder = Vocoder(params["codec"], cfg.codec,
+                               compute_dtype=vocoder_compute_dtype)
         # host-side prompt assembly (see prompt.py: avoids ~40 op-dispatch
         # programs per generation on the tunneled-TPU runtime)
         self.prompt_builder = PromptBuilder(params["talker"], params["predictor"], cfg)

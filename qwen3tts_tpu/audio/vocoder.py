@@ -35,13 +35,26 @@ def _bucket(n: int, buckets=FULL_BUCKETS) -> int:
 
 
 class Vocoder:
-    """Jitted codec decode/encode with shape bucketing."""
+    """Jitted codec decode/encode with shape bucketing.
 
-    def __init__(self, params: Dict, cfg: CodecConfig, context_frames: int = 25):
-        self.params = params
+    ``compute_dtype``: decode-path compute precision.  bf16 (default) runs
+    the conv/attention stacks at full MXU rate with f32 accumulation
+    (``preferred_element_type`` in models/codec.py) — the same precision the
+    reference runs its speech tokenizer at (whole model loaded bf16,
+    model.py:107-112) and ~3x faster than f32 on the streaming window.
+    Pass ``jnp.float32`` for maximum waveform fidelity (offline mastering)."""
+
+    def __init__(self, params: Dict, cfg: CodecConfig, context_frames: int = 25,
+                 compute_dtype=jnp.bfloat16):
         self.cfg = cfg
         self.context_frames = context_frames
         self.spf = cfg.total_upsample  # samples per frame — exact
+        if compute_dtype is not None and compute_dtype != jnp.float32:
+            params = jax.tree.map(
+                lambda x: x.astype(compute_dtype)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+                params)
+        self.params = params
         self._decode_jit = jax.jit(
             functools.partial(codec_lib.decode, cfg=cfg)
         )

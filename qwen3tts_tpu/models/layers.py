@@ -184,8 +184,13 @@ def stack_forward(
     mask_sliding: Optional[jnp.ndarray] = None,  # [B, Tq, S] for sliding layers
     layer_is_sliding: Optional[jnp.ndarray] = None,  # [L] bool
     flash_ctx: Optional[Dict] = None,
+    unroll: int = 1,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """Run the whole layer stack with lax.scan.  Returns (x_out, kv')."""
+    """Run the whole layer stack with lax.scan.  Returns (x_out, kv').
+
+    ``unroll``: scan unroll factor — >1 lets XLA software-pipeline the next
+    layer's weight DMA across the loop boundary (longer compile, measured
+    with benchmarks/decompose.py --unroll)."""
 
     if layer_is_sliding is None or mask_sliding is None:
         layer_is_sliding = jnp.zeros((spec.num_layers,), bool)
@@ -200,7 +205,8 @@ def stack_forward(
         return xc, (kc, vc)
 
     x_out, (k_new, v_new) = jax.lax.scan(
-        body, x, (stack_params, kv["k"], kv["v"], layer_is_sliding)
+        body, x, (stack_params, kv["k"], kv["v"], layer_is_sliding),
+        unroll=unroll,
     )
     return x_out, {"k": k_new, "v": v_new}
 

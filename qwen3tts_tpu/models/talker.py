@@ -177,6 +177,7 @@ def decode_step(
     pad_count: jnp.ndarray,  # [B] int32
     kv: Dict[str, jnp.ndarray],
     use_flash: bool = False,
+    unroll: int = 1,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Single-token decode over the static cache.  Returns (hidden [B,1,H], kv').
 
@@ -213,6 +214,7 @@ def decode_step(
         mask_sliding=m_slide,
         layer_is_sliding=layer_sliding_flags(cfg) if m_slide is not None else None,
         flash_ctx=flash_ctx,
+        unroll=unroll,
     )
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     return x, kv

@@ -117,6 +117,7 @@ class Engine:
         max_seq_len: int = 2048,
         batch: int = 1,
         use_flash_decode: Optional[bool] = None,
+        scan_unroll: int = 1,
     ):
         self.cfg = cfg
         self.talker_cfg = cfg.talker
@@ -137,6 +138,7 @@ class Engine:
                 and cfg.talker.head_dim % 128 == 0
             )
         self.use_flash_decode = use_flash_decode
+        self.scan_unroll = scan_unroll
         self._suppress = jnp.asarray(
             build_suppress_mask(cfg.talker.vocab_size, self.eos_id)
         )
@@ -313,7 +315,7 @@ class Engine:
         # --- talker decode step
         hidden, kv = talker_lib.decode_step(
             talker_params, tcfg, x, state["pos"], state["pad_count"], state["kv"],
-            use_flash=self.use_flash_decode,
+            use_flash=self.use_flash_decode, unroll=self.scan_unroll,
         )
         logits = talker_lib.codec_head(talker_params, hidden[:, 0, :])
 

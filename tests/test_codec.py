@@ -81,6 +81,29 @@ def test_stream_decoder_exact_with_nonzero_biases(codec):
     np.testing.assert_allclose(outs[0], full[: len(outs[0])], atol=1e-5)
 
 
+def test_bf16_vocoder_close_to_f32_and_stream_exact(codec):
+    """bf16 compute (the default; matches the reference's bf16 speech
+    tokenizer) stays close to f32 on the waveform, and streaming remains
+    self-consistent (causality is dtype-independent)."""
+    import jax.numpy as jnp
+
+    from qwen3tts_tpu.audio.vocoder import Vocoder
+
+    params, cfg = codec
+    v32 = Vocoder(params, cfg, compute_dtype=jnp.float32)
+    v16 = Vocoder(params, cfg, compute_dtype=jnp.bfloat16)
+    codes = np.asarray(_codes(cfg, 20)[0])
+    w32, w16 = v32.decode(codes), v16.decode(codes)
+    assert w32.shape == w16.shape
+    assert np.max(np.abs(w32 - w16)) < 0.05  # on [-1,1] audio
+
+    sd = v16.stream_decoder(chunk_size=5)
+    stream = np.concatenate([sd.feed(codes[i : i + 5]) for i in range(0, 20, 5)])
+    assert stream.shape == w16.shape
+    np.testing.assert_allclose(stream[: 5 * cfg.total_upsample],
+                               w16[: 5 * cfg.total_upsample], atol=1e-5)
+
+
 def test_encode_shapes_and_range(codec):
     params, cfg = codec
     wav = jax.random.normal(jax.random.PRNGKey(2), (1, 10 * cfg.total_upsample)) * 0.1
