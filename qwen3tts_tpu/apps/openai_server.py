@@ -8,8 +8,11 @@ generation (openai_server.py:71,181).
 
 Implementation note: FastAPI/uvicorn are not available in this image, so the
 server is built on stdlib ``ThreadingHTTPServer`` with hand-rolled chunked
-transfer encoding — no dependencies, same wire behavior.  ``mp3`` returns
-HTTP 501 (pydub unavailable) with a clear message.
+transfer encoding — no dependencies, same wire behavior.  ``mp3`` is encoded
+with a direct libmp3lame ctypes binding (audio/mp3.py) and — unlike the
+reference, which buffers the whole utterance through pydub
+(openai_server.py:242-256) — is streamed incrementally; if the system
+library is absent it returns HTTP 501 with a clear message.
 """
 from __future__ import annotations
 
@@ -24,6 +27,7 @@ from typing import Dict, Optional
 
 import numpy as np
 
+from ..audio import mp3
 from ..audio.wav import to_pcm16, wav_header
 
 logger = logging.getLogger("qwen3tts_tpu.openai_server")
@@ -131,10 +135,11 @@ def make_handler(state: TTSState):
             if len(text) > MAX_INPUT_CHARS:
                 return self._json_error(400, f"input too long (max {MAX_INPUT_CHARS})")
             fmt = req.get("response_format", "wav")
-            if fmt == "mp3":
+            if fmt == "mp3" and not mp3.is_available():
                 return self._json_error(
-                    501, "mp3 encoding unavailable in this build; use wav or pcm")
-            if fmt not in ("wav", "pcm"):
+                    501, "mp3 encoding unavailable (libmp3lame not found); "
+                         "use wav or pcm")
+            if fmt not in ("wav", "pcm", "mp3"):
                 return self._json_error(400, f"unsupported response_format '{fmt}'")
 
             voice = state.registry.resolve(req.get("voice"))
@@ -144,9 +149,12 @@ def make_handler(state: TTSState):
             language = req.get("language", "English")
             sr = state.model.sample_rate
             try:
-                self._start_chunked("audio/wav" if fmt == "wav" else "audio/pcm")
+                ctype = {"wav": "audio/wav", "pcm": "audio/pcm",
+                         "mp3": "audio/mpeg"}[fmt]
+                self._start_chunked(ctype)
                 if fmt == "wav":
                     self._write_chunk(wav_header(sr))  # unknown-length header
+                encoder = mp3.Mp3Encoder(sr) if fmt == "mp3" else None
                 max_new = int(req.get("max_new_tokens", 2048))
                 with state.lock:  # serialize the TPU
                     for audio, _, _t in state.model.generate_voice_clone_streaming(
@@ -158,7 +166,12 @@ def make_handler(state: TTSState):
                         max_new_tokens=max_new,
                         first_chunks=(2, 4),  # cut TTFA: bytes flow sooner
                     ):
-                        self._write_chunk(to_pcm16(audio))
+                        if encoder is not None:
+                            self._write_chunk(encoder.encode(audio))
+                        else:
+                            self._write_chunk(to_pcm16(audio))
+                if encoder is not None:
+                    self._write_chunk(encoder.flush())
                 self._end_chunked()
             except BrokenPipeError:
                 logger.info("client disconnected mid-stream")

@@ -65,12 +65,33 @@ def test_speech_errors(oai_server):
     assert e.value.code == 400  # missing input
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(oai_server + "/v1/audio/speech",
-              {"input": "x", "response_format": "mp3"})
-    assert e.value.code == 501  # mp3 gated
+              {"input": "x", "response_format": "flac"})
+    assert e.value.code == 400  # unsupported format
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(oai_server + "/v1/audio/speech",
               {"input": "x" * 5000})
     assert e.value.code == 400  # too long
+
+
+def test_speech_mp3_streaming(oai_server):
+    from qwen3tts_tpu.audio import mp3
+
+    if not mp3.is_available():
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(oai_server + "/v1/audio/speech",
+                  {"input": "x", "response_format": "mp3"})
+        assert e.value.code == 501  # graceful degradation
+        return
+    with _post(oai_server + "/v1/audio/speech",
+               {"input": "Hello.", "response_format": "mp3"}) as r:
+        data = r.read()
+    assert r.headers["Content-Type"] == "audio/mpeg"
+    assert len(data) > 200
+    if mp3.decode_available():
+        dec, sr = mp3.decode_mp3(data)
+        assert sr == 24_000 and len(dec) > 0
 
 
 # ---------------------------------------------------------------------------
