@@ -54,7 +54,7 @@ def sample_logits(
     do_sample: bool,  # STATIC (control flow)
     use_top_p: Optional[bool] = None,  # STATIC; default inferred from top_p
     suppress_mask: Optional[jnp.ndarray] = None,  # [V] bool
-    suppress_eos: Optional[jnp.ndarray] = None,  # scalar bool (traced ok)
+    suppress_eos: Optional[jnp.ndarray] = None,  # scalar or [B] bool (traced ok)
     eos_id: int = -1,
 ) -> jnp.ndarray:
     """Returns sampled token ids [B].  ``do_sample``/``top_k``/``use_top_p``
@@ -67,7 +67,10 @@ def sample_logits(
         logits = jnp.where(suppress_mask[None, :], NEG_INF, logits)
     if suppress_eos is not None and eos_id >= 0:
         eos_col = jnp.arange(V) == eos_id
-        logits = jnp.where(suppress_eos & eos_col[None, :], NEG_INF, logits)
+        se = jnp.asarray(suppress_eos)
+        if se.ndim == 1:  # per-row (continuous batching: rows differ in n_gen)
+            se = se[:, None]
+        logits = jnp.where(se & eos_col[None, :], NEG_INF, logits)
 
     if not do_sample:
         return jnp.argmax(logits, axis=-1)

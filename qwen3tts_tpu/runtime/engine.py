@@ -223,15 +223,18 @@ class Engine:
             eos_id=self.eos_id,
         )
         token = token.astype(jnp.int32)
+        B = embeds.shape[0]
         state = {
             "kv": kv,
             "past_hidden": last,
             "token": token,
             "pos": jnp.int32(embeds.shape[1]) - roll.astype(jnp.int32),
             "pad_count": (pad_count - roll).astype(jnp.int32),
-            "gen_step": jnp.int32(0),
-            "seen": jnp.zeros((embeds.shape[0], self.talker_cfg.vocab_size), bool),
-            "n_gen": jnp.int32(0),
+            # per-row counters: rows admitted mid-batch (join_row) restart
+            # their own text/EOS clocks while others keep counting
+            "gen_step": jnp.zeros((B,), jnp.int32),
+            "seen": jnp.zeros((B, self.talker_cfg.vocab_size), bool),
+            "n_gen": jnp.zeros((B,), jnp.int32),
             "done": token == self.eos_id,  # [B]
             "key": key,
         }
@@ -278,7 +281,7 @@ class Engine:
         pred_params,
         state: Dict,
         tth: jnp.ndarray,  # [B, Ttth, H] trailing text hiddens (padded w/ tts_pad)
-        tth_len: jnp.ndarray,  # scalar int32 — true length
+        tth_len: jnp.ndarray,  # [B] int32 — true per-row lengths
         tts_pad_embed: jnp.ndarray,  # [B, 1, H]
         knobs: jnp.ndarray,  # [6] traced sampling knobs
         policy: StaticPolicy,
@@ -304,11 +307,10 @@ class Engine:
         # --- next talker input = Σ 16 codec embeds + trailing text hidden
         #     (reference generate.py:163-171)
         x = tok_embed + cb_embed_sum.astype(tok_embed.dtype)
-        idx = jnp.minimum(state["gen_step"], tth.shape[1] - 1)
+        idx = jnp.minimum(state["gen_step"], tth.shape[1] - 1)  # [B]
+        row_tth = jnp.take_along_axis(tth, idx[:, None, None], axis=1)  # [B,1,H]
         trailing = jnp.where(
-            state["gen_step"] < tth_len,
-            jax.lax.dynamic_slice_in_dim(tth, idx, 1, axis=1),
-            tts_pad_embed,
+            (state["gen_step"] < tth_len)[:, None, None], row_tth, tts_pad_embed,
         )
         x = x + trailing
 
@@ -327,7 +329,7 @@ class Engine:
             logits = apply_repetition_penalty(logits, seen, knobs[2])
 
         key, ks = jax.random.split(key)
-        n_gen = state["n_gen"] + 1
+        n_gen = state["n_gen"] + 1  # [B]
         next_token = sample_logits(
             ks,
             logits,
@@ -337,7 +339,7 @@ class Engine:
             use_top_p=policy.use_top_p,
             do_sample=policy.do_sample,
             suppress_mask=self._suppress,
-            suppress_eos=n_gen < knobs[3].astype(jnp.int32),
+            suppress_eos=n_gen < knobs[3].astype(jnp.int32),  # per-row
             eos_id=self.eos_id,
         )
 
@@ -363,6 +365,12 @@ class Engine:
             policy, pred_policy,
         )
 
+    def _tth_len_vec(self, tth_len) -> jnp.ndarray:
+        """Broadcast a scalar tth length to the per-row [B] vector the step
+        functions take (per-row lengths matter once rows join mid-batch)."""
+        return jnp.broadcast_to(
+            jnp.asarray(tth_len, jnp.int32), (self.batch,))
+
     def decode_step(self, state, tth, tth_len, tpe, policy, pred_policy,
                     knobs=None):
         """Single fused decode step (parity/debug path)."""
@@ -370,7 +378,7 @@ class Engine:
             knobs = make_knobs(policy, pred_policy)
         return self._step_jit(
             self.talker_params, self.predictor_params, state, tth,
-            jnp.int32(tth_len), tpe, knobs,
+            self._tth_len_vec(tth_len), tpe, knobs,
             policy=policy.static, pred_policy=pred_policy.static,
         )
 
@@ -430,9 +438,115 @@ class Engine:
             knobs = make_knobs(policy, pred_policy)
         return self._chunk_jit(
             self.talker_params, self.predictor_params, state, tth,
-            jnp.int32(tth_len), tpe, knobs,
+            self._tth_len_vec(tth_len), tpe, knobs,
             policy=policy.static, pred_policy=pred_policy.static,
             chunk_size=chunk_size,
+        )
+
+    # ------------------------------------------------------------------
+    # continuous batching: admit one request into a running batch
+    # ------------------------------------------------------------------
+
+    def _join_impl(
+        self,
+        talker_params,
+        state,  # donated
+        embeds: jnp.ndarray,  # [1, Tb, H] left-padded to bucket
+        pad_inner: jnp.ndarray,  # [1] int32 — left pad within the bucket
+        row: jnp.ndarray,  # scalar int32 — batch row to occupy
+        knobs: jnp.ndarray,
+        policy: StaticPolicy,
+    ):
+        """Splice a fresh request's prefill into ``row`` of a RUNNING batch.
+
+        The row's prompt is prefilled batch-1 in its own local coordinates
+        and written so it ENDS at the shared cache position ``state["pos"]``:
+        slot ``s`` of the splice holds RoPE position ``s - pad_count_row``
+        with ``pad_count_row = pos - Tb + pad_inner`` — exactly what the
+        shared decode step will compute for this row from then on.  This is
+        the mechanism behind serving-level continuous batching, which the
+        reference (strictly batch-1, SURVEY §2.4) cannot express.
+        """
+        Tb = embeds.shape[1]
+        tiny_kv = talker_lib.new_kv_cache(self.talker_cfg, 1, Tb, self.dtype)
+        last, logits, tiny_kv = talker_lib.prefill(
+            talker_params, self.talker_cfg, embeds, pad_inner, tiny_kv
+        )
+        pos = state["pos"]
+        start = pos - Tb
+        kv = state["kv"]
+        kv = {
+            "k": jax.lax.dynamic_update_slice(
+                kv["k"], tiny_kv["k"], (0, row, start, 0, 0)),
+            "v": jax.lax.dynamic_update_slice(
+                kv["v"], tiny_kv["v"], (0, row, start, 0, 0)),
+        }
+        key, ks = jax.random.split(state["key"])
+        token = sample_logits(
+            ks, logits,
+            temperature=knobs[0], top_k=policy.top_k, top_p=knobs[1],
+            use_top_p=policy.use_top_p, do_sample=policy.do_sample,
+            suppress_mask=self._suppress, suppress_eos=knobs[3] > 0,
+            eos_id=self.eos_id,
+        ).astype(jnp.int32)[0]
+        zero = jnp.int32(0)
+        state = {
+            "kv": kv,
+            "past_hidden": jax.lax.dynamic_update_slice(
+                state["past_hidden"], last.astype(state["past_hidden"].dtype),
+                (row, zero, zero)),
+            "token": state["token"].at[row].set(token),
+            "pos": pos,
+            "pad_count": state["pad_count"].at[row].set(
+                start + pad_inner[0]),
+            "gen_step": state["gen_step"].at[row].set(0),
+            "seen": state["seen"].at[row].set(False),
+            "n_gen": state["n_gen"].at[row].set(0),
+            "done": state["done"].at[row].set(token == self.eos_id),
+            "key": key,
+        }
+        return state
+
+    def join_row(
+        self,
+        state: Dict,
+        row: int,
+        embeds: jnp.ndarray,  # [1, T, H] unpadded prompt embeddings
+        key_unused=None,
+        *,
+        policy: GenerationPolicy,
+        pred_policy: SamplingPolicy = SamplingPolicy(),
+        knobs: Optional[jnp.ndarray] = None,
+        pos_hint: Optional[int] = None,
+    ) -> Dict:
+        """Admit a request into ``row`` of a running batch (donates ``state``).
+
+        Caller must ensure the shared position is at least the prompt's
+        bucket length (``pos_hint`` — host-tracked position — is validated
+        when given).  Compiles once per prefill bucket.
+        """
+        if not hasattr(self, "_join_jit"):
+            self._join_jit = jax.jit(
+                self._join_impl, static_argnames=("policy",),
+                donate_argnames=("state",),
+            )
+        B, T, H = embeds.shape
+        assert B == 1, "join_row admits one request at a time"
+        Tb = bucket_for(T)
+        if pos_hint is not None and Tb > pos_hint:
+            raise ValueError(
+                f"cannot join: prompt bucket {Tb} exceeds current batch "
+                f"position {pos_hint} (row would underflow the cache)")
+        extra = Tb - T
+        if extra:
+            embeds = jnp.concatenate(
+                [jnp.zeros((1, extra, H), embeds.dtype), embeds], axis=1)
+        if knobs is None:
+            knobs = make_knobs(policy, pred_policy)
+        return self._join_jit(
+            self.talker_params, state, embeds,
+            jnp.asarray([extra], jnp.int32), jnp.int32(row), knobs,
+            policy=policy.static,
         )
 
     # ------------------------------------------------------------------

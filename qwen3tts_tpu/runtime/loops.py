@@ -61,7 +61,7 @@ def _chunk_iter(
     def size_at(i):
         return sizes[min(i, len(sizes) - 1)]
 
-    tth_len_dev = jnp.int32(tth_len)
+    tth_len_dev = jnp.asarray(tth_len, jnp.int32)  # scalar or [B] per-row
     knobs = make_knobs(policy, pred_policy)
     emitted = 0
     i = 0
@@ -212,7 +212,7 @@ def fast_generate_batch(
     t0 = time.time()
     tth, tth_len = _pad_tth(trailing_text_hiddens, tts_pad_embed, bucketed=True)
     if tth_lens is not None:
-        tth_len = int(np.max(tth_lens))
+        tth_len = np.asarray(tth_lens, np.int32)  # exact per-row text lengths
     state = engine.prefill(talker_input_embeds, key, policy,
                            pred_policy=pred_policy, pad_count=pad_count)
     jax.block_until_ready(state["token"])
