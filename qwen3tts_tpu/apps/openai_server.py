@@ -64,14 +64,18 @@ class VoiceRegistry:
 
 
 class TTSState:
-    """Shared model + lock (one TPU ⇒ requests serialize, like the
-    reference's threading.Lock)."""
+    """Shared model + either a serializing lock (reference behavior,
+    openai_server.py:71,181) or a continuous batcher: concurrent requests
+    share one batched engine, joining/leaving it mid-flight — aggregate
+    throughput scales with occupancy instead of queueing."""
 
-    def __init__(self, model, registry: VoiceRegistry, chunk_size: int = 8):
+    def __init__(self, model, registry: VoiceRegistry, chunk_size: int = 8,
+                 batcher=None):
         self.model = model
         self.registry = registry
         self.lock = threading.Lock()
         self.chunk_size = chunk_size
+        self.batcher = batcher
 
 
 def make_handler(state: TTSState):
@@ -156,20 +160,36 @@ def make_handler(state: TTSState):
                     self._write_chunk(wav_header(sr))  # unknown-length header
                 encoder = mp3.Mp3Encoder(sr) if fmt == "mp3" else None
                 max_new = int(req.get("max_new_tokens", 2048))
-                with state.lock:  # serialize the TPU
-                    for audio, _, _t in state.model.generate_voice_clone_streaming(
-                        text=text,
-                        language=language,
-                        ref_audio=voice["ref_audio"],
-                        ref_text=voice.get("ref_text", ""),
-                        chunk_size=state.chunk_size,
-                        max_new_tokens=max_new,
-                        first_chunks=(2, 4),  # cut TTFA: bytes flow sooner
-                    ):
+                if state.batcher is not None:
+                    # continuous batching: no lock — the scheduler's worker
+                    # owns the TPU and this request joins the running batch
+                    handle = state.batcher.submit(
+                        text, language, voice["ref_audio"],
+                        voice.get("ref_text", ""), max_new_tokens=max_new)
+                    stream = handle.chunks()
+                else:
+                    stream = None
+                if stream is not None:
+                    for audio, _, _t in stream:
                         if encoder is not None:
                             self._write_chunk(encoder.encode(audio))
                         else:
                             self._write_chunk(to_pcm16(audio))
+                else:
+                    with state.lock:  # serialize the TPU
+                        for audio, _, _t in state.model.generate_voice_clone_streaming(
+                            text=text,
+                            language=language,
+                            ref_audio=voice["ref_audio"],
+                            ref_text=voice.get("ref_text", ""),
+                            chunk_size=state.chunk_size,
+                            max_new_tokens=max_new,
+                            first_chunks=(2, 4),  # cut TTFA: bytes flow sooner
+                        ):
+                            if encoder is not None:
+                                self._write_chunk(encoder.encode(audio))
+                            else:
+                                self._write_chunk(to_pcm16(audio))
                 if encoder is not None:
                     self._write_chunk(encoder.flush())
                 self._end_chunked()
@@ -187,10 +207,18 @@ def make_handler(state: TTSState):
 
 
 def serve(model, registry: VoiceRegistry, host: str = "0.0.0.0", port: int = 8000,
-          chunk_size: int = 8) -> ThreadingHTTPServer:
-    state = TTSState(model, registry, chunk_size)
+          chunk_size: int = 8, max_batch: int = 0) -> ThreadingHTTPServer:
+    batcher = None
+    if max_batch > 1:
+        from ..runtime.scheduler import ContinuousBatcher
+
+        batcher = ContinuousBatcher(model, max_batch=max_batch,
+                                    chunk_size=chunk_size)
+    state = TTSState(model, registry, chunk_size, batcher=batcher)
     httpd = ThreadingHTTPServer((host, port), make_handler(state))
-    logger.info("OpenAI-compatible TTS server on %s:%d", host, port)
+    httpd.tts_state = state  # exposes the batcher for tests / shutdown
+    logger.info("OpenAI-compatible TTS server on %s:%d%s", host, port,
+                f" (continuous batching, max_batch={max_batch})" if batcher else "")
     return httpd
 
 
@@ -205,6 +233,11 @@ def main(argv=None):
     p.add_argument("--ref-audio", default=None, help="single default voice")
     p.add_argument("--ref-text", default="")
     p.add_argument("--chunk-size", type=int, default=8)
+    p.add_argument("--continuous-batching", type=int, default=0, metavar="N",
+                   help="serve concurrent requests through one N-row batched "
+                        "engine (requests join/leave the running batch); 0 = "
+                        "serialize requests behind a lock (reference behavior). "
+                        "Sampling knobs are fixed per server in this mode.")
     p.add_argument("--warmup-all", action=argparse.BooleanOptionalAction, default=True,
                    help="compile every prefill/tth bucket at startup so no "
                         "request hits a mid-serving compile stall")
@@ -217,11 +250,14 @@ def main(argv=None):
         logger.info("warming all compile buckets (one-time; persistent-cached)...")
         model.warmup_all(chunk_sizes=(args.chunk_size, 16))
     registry = VoiceRegistry.from_args(args.voices, args.ref_audio, args.ref_text)
-    httpd = serve(model, registry, args.host, args.port, args.chunk_size)
+    httpd = serve(model, registry, args.host, args.port, args.chunk_size,
+                  max_batch=args.continuous_batching)
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:
         httpd.shutdown()
+        if httpd.tts_state.batcher is not None:
+            httpd.tts_state.batcher.close()
 
 
 if __name__ == "__main__":

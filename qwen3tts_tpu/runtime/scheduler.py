@@ -1,0 +1,401 @@
+"""Continuous batching scheduler: dynamic request admission onto one
+batched Engine.
+
+The reference serializes concurrent requests behind a lock (reference
+examples/openai_server.py:71,181; demo/server.py:167-168) — one request owns
+the GPU at a time.  Here a worker thread owns the TPU and runs ONE batched
+engine; requests are admitted into free batch rows *while the batch is
+running* (Engine.join_row splices a one-row prefill into the shared KV at a
+chunk boundary), stream their audio independently, and retire at their own
+EOS.  Aggregate frames/s scales with occupancy while per-request latency
+stays near batch-B latency — a serving mode the reference's strictly
+batch-1 design cannot express (SURVEY §2.4).
+
+Sampling knobs (temperature/top-k/penalty) are shared per batcher — they are
+one traced knob vector per program call.  Greedy/sampled policy is fixed at
+construction.  Per-request texts, voices, prompt lengths and EOS times are
+fully independent.
+"""
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Dict, Generator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.predictor import SamplingPolicy
+from .engine import (
+    Engine,
+    GenerationPolicy,
+    PREFILL_BUCKETS,
+    TTH_BUCKETS,
+    bucket_for,
+    make_knobs,
+)
+
+logger = logging.getLogger(__name__)
+
+_SENTINEL = object()
+
+
+@dataclass
+class _Request:
+    embeds: np.ndarray  # [1, T, H]
+    trailing: np.ndarray  # [1, Tt, H]
+    tpe: np.ndarray  # [1, 1, H]
+    ref_codes: Optional[np.ndarray]
+    max_new_tokens: int
+    out_q: "queue.Queue" = field(default_factory=lambda: queue.Queue(maxsize=64))
+    submitted_at: float = field(default_factory=time.time)
+    started_at: float = 0.0
+    sd: object = None  # per-request streaming vocoder
+    steps: int = 0
+    chunk_index: int = 0
+    row: int = -1
+    cancelled: bool = False
+
+
+class StreamHandle:
+    """Client-side handle: iterate ``chunks()`` for (audio, sr, timing)."""
+
+    def __init__(self, req: _Request, sr: int):
+        self._req = req
+        self._sr = sr
+
+    def chunks(self) -> Generator[Tuple[np.ndarray, int, dict], None, None]:
+        while True:
+            item = self._req.out_q.get()
+            if item is _SENTINEL:
+                return
+            if isinstance(item, Exception):
+                raise item
+            audio, timing = item
+            yield audio, self._sr, timing
+
+    def cancel(self):
+        """Best-effort: the row finishes its current chunk then is retired."""
+        self._req.cancelled = True
+
+
+class ContinuousBatcher:
+    """Worker-thread scheduler over one batched Engine.
+
+    ``submit`` builds the prompt on the caller's thread (host numpy), then
+    enqueues; the worker starts a batch when idle, joins requests into free
+    rows at chunk boundaries while running, and pushes per-row audio chunks
+    to each request's queue.
+    """
+
+    def __init__(
+        self,
+        model,
+        max_batch: int = 4,
+        chunk_size: int = 8,
+        max_new_tokens: int = 2048,
+        policy: Optional[GenerationPolicy] = None,
+        pred_policy: Optional[SamplingPolicy] = None,
+    ):
+        self.model = model
+        self.B = max_batch
+        self.chunk_size = chunk_size
+        self.max_new_tokens = max_new_tokens
+        self.policy = policy or GenerationPolicy()
+        self.pred_policy = pred_policy or SamplingPolicy()
+        self.engine: Engine = model._batch_engine(max_batch)
+        self.knobs = make_knobs(self.policy, self.pred_policy)
+        self._pending: "queue.Queue[_Request]" = queue.Queue()
+        self._stop = threading.Event()
+        self._stats = {"served": 0, "joined_mid_batch": 0, "batches": 0}
+        self._worker = threading.Thread(
+            target=self._run, name="continuous-batcher", daemon=True)
+        self._worker.start()
+
+    # ------------------------------------------------------------------
+    # client side
+    # ------------------------------------------------------------------
+
+    def submit(
+        self,
+        text: str,
+        language: str,
+        ref_audio,
+        ref_text: str,
+        *,
+        xvec_only: bool = True,
+        non_streaming_mode: bool = True,
+        append_silence: bool = True,
+        instruct: Optional[str] = None,
+        max_new_tokens: Optional[int] = None,
+    ) -> StreamHandle:
+        if self._stop.is_set():
+            raise RuntimeError("batcher is closed")
+        embeds, trailing, tpe, ref_codes = self.model._prepare_clone(
+            text, ref_audio, ref_text, language, xvec_only,
+            non_streaming_mode, append_silence, instruct,
+        )
+        req = _Request(
+            embeds=np.asarray(embeds, np.float32),
+            trailing=np.asarray(trailing, np.float32),
+            tpe=np.asarray(tpe, np.float32),
+            ref_codes=np.asarray(ref_codes) if ref_codes is not None and len(ref_codes) else None,
+            max_new_tokens=min(max_new_tokens or self.max_new_tokens,
+                               self.max_new_tokens),
+        )
+        self._pending.put(req)
+        return StreamHandle(req, self.model.sample_rate)
+
+    def close(self, timeout: float = 30.0):
+        self._stop.set()
+        self._pending.put(_SENTINEL)  # wake the worker
+        self._worker.join(timeout=timeout)
+
+    @property
+    def stats(self) -> Dict:
+        return dict(self._stats, queue_depth=self._pending.qsize())
+
+    # ------------------------------------------------------------------
+    # worker side
+    # ------------------------------------------------------------------
+
+    def _run(self):
+        try:
+            while not self._stop.is_set():
+                first = self._pending.get()
+                if first is _SENTINEL or self._stop.is_set():
+                    break
+                batch = [first]
+                while len(batch) < self.B:
+                    try:
+                        nxt = self._pending.get_nowait()
+                    except queue.Empty:
+                        break
+                    if nxt is _SENTINEL:
+                        self._stop.set()
+                        break
+                    batch.append(nxt)
+                self._serve_batch(batch)
+        except Exception:  # pragma: no cover — catastrophic worker failure
+            logger.exception("batcher worker died")
+            while True:
+                try:
+                    req = self._pending.get_nowait()
+                except queue.Empty:
+                    break
+                if req is not _SENTINEL:
+                    req.out_q.put(RuntimeError("batcher worker died"))
+        finally:
+            while True:  # drain: fail anything still queued at shutdown
+                try:
+                    req = self._pending.get_nowait()
+                except queue.Empty:
+                    break
+                if req is not _SENTINEL:
+                    req.out_q.put(_SENTINEL)
+
+    # ---- batch lifecycle
+
+    def _serve_batch(self, initial: List[_Request]):
+        eng, B = self.engine, self.B
+        H = self.model.cfg.talker.hidden_size
+        self._stats["batches"] += 1
+
+        rows: List[Optional[_Request]] = [None] * B
+        for i, req in enumerate(initial):
+            rows[i] = req
+
+        # --- stacked initial prefill: rows left-padded to the common length
+        #     with true per-row pad counts (masks + RoPE need them); rows
+        #     beyond the initial set are zero prompts, marked done right after
+        T = max(r.embeds.shape[1] for r in initial)
+        Tb = bucket_for(T)
+        embeds = np.zeros((B, T, H), np.float32)
+        pads = np.full((B,), T, np.int32)  # unused rows: fully padded
+        for i, req in enumerate(initial):
+            L = req.embeds.shape[1]
+            pads[i] = T - L
+            embeds[i, T - L:] = req.embeds[0]
+        state = eng.prefill(
+            jnp.asarray(embeds, eng.dtype), self.model._next_key(), self.policy,
+            pad_count=pads, knobs=self.knobs,
+        )
+        total_pads = pads + (Tb - T)
+        pos = Tb - int(total_pads.min())  # prefill compacts by min(pad)
+        if len(initial) < B:
+            mask = np.zeros((B,), bool)
+            mask[len(initial):] = True
+            state["done"] = state["done"] | jnp.asarray(mask)
+
+        # --- per-row tth arrays (device), re-bucketed as needed
+        tth_w = bucket_for(max(max(r.trailing.shape[1] for r in initial), 1),
+                           TTH_BUCKETS)
+        tth = np.zeros((B, tth_w, H), np.float32)
+        tth_lens = np.zeros((B,), np.int32)
+        tpe = np.zeros((B, 1, H), np.float32)
+        for i, req in enumerate(initial):
+            L = req.trailing.shape[1]
+            tth[i, :L] = req.trailing[0]
+            tth[i, L:] = req.tpe[0]
+            tth_lens[i] = L
+            tpe[i] = req.tpe[0]
+        tth_dev = jnp.asarray(tth, eng.dtype)
+        tpe_dev = jnp.asarray(tpe, eng.dtype)
+
+        for req in initial:
+            self._start_request(req)
+
+        limit = eng.max_seq_len - 1
+        while True:
+            # --- decode one chunk
+            state, frames, n, lens, done_all = eng.decode_chunk(
+                state, tth_dev, jnp.asarray(tth_lens), tpe_dev,
+                self.policy, self.pred_policy, self.chunk_size,
+                knobs=self.knobs,
+            )
+            frames_np, n_val, lens_np, done_np, row_done = jax.device_get(
+                (frames, n, lens, done_all, state["done"]))
+            pos += int(n_val)
+
+            # --- emit per-row audio; retire rows at EOS / budget
+            force_done = np.zeros((B,), bool)
+            for b in range(B):
+                req = rows[b]
+                if req is None:
+                    continue
+                valid = int(lens_np[b])
+                if req.cancelled:
+                    valid = 0
+                take = min(valid, req.max_new_tokens - req.steps)
+                if take > 0:
+                    self._emit(req, frames_np[b, :take])
+                over_budget = req.steps >= req.max_new_tokens
+                if bool(row_done[b]) or over_budget or req.cancelled:
+                    if over_budget and not bool(row_done[b]):
+                        force_done[b] = True  # stop wasting steps on it
+                    self._finish_request(req)
+                    rows[b] = None
+            if force_done.any():
+                state["done"] = state["done"] | jnp.asarray(force_done)
+
+            # --- admit pending requests into free rows at this boundary
+            admitted = False
+            for b in range(B):
+                if rows[b] is not None:
+                    continue
+                req = self._peek_admissible(pos, limit)
+                if req is None:
+                    break
+                state = eng.join_row(
+                    state, b, jnp.asarray(req.embeds, eng.dtype),
+                    policy=self.policy, pred_policy=self.pred_policy,
+                    knobs=self.knobs, pos_hint=pos,
+                )
+                L = req.trailing.shape[1]
+                if L > tth_dev.shape[1]:  # re-bucket the shared tth array
+                    new_w = bucket_for(L, TTH_BUCKETS)
+                    grown = np.asarray(tth_dev, np.float32)
+                    grown = np.concatenate(
+                        [grown, np.tile(tpe, (1, new_w - grown.shape[1], 1))],
+                        axis=1)
+                    tth_dev = jnp.asarray(grown, eng.dtype)
+                row_t = np.asarray(req.trailing[0], np.float32)
+                row_full = np.tile(req.tpe[0], (tth_dev.shape[1], 1))
+                row_full[:L] = row_t
+                tth_dev = tth_dev.at[b].set(jnp.asarray(row_full, eng.dtype))
+                tpe[b] = req.tpe[0]
+                tpe_dev = tpe_dev.at[b].set(jnp.asarray(req.tpe[0], eng.dtype))
+                tth_lens[b] = L
+                rows[b] = req
+                self._start_request(req)
+                self._stats["joined_mid_batch"] += 1
+                admitted = True
+
+            live = any(r is not None for r in rows)
+            if pos >= limit and live:
+                # bounded-window truncation (same contract as batch-1)
+                for b in range(B):
+                    if rows[b] is not None:
+                        self._finish_request(rows[b])
+                        rows[b] = None
+                live = False
+            if not live and not admitted:
+                eng.release(state)
+                return
+
+    # ---- per-request helpers
+
+    def _start_request(self, req: _Request):
+        req.started_at = time.time()
+        req.sd = self.model.vocoder.stream_decoder(self.chunk_size)
+        if req.ref_codes is not None:
+            req.sd.feed(req.ref_codes)  # prime ICL acoustic context
+
+    def _emit(self, req: _Request, frames: np.ndarray):
+        audio = req.sd.feed(frames)
+        req.steps += len(frames)
+        timing = {
+            "chunk_index": req.chunk_index,
+            "chunk_steps": int(len(frames)),
+            "total_steps_so_far": req.steps,
+            "is_final": False,
+            "queue_ms": (req.started_at - req.submitted_at) * 1000.0,
+        }
+        if req.chunk_index == 0:
+            timing["ttfa_ms"] = (time.time() - req.submitted_at) * 1000.0
+        req.chunk_index += 1
+        try:
+            req.out_q.put((audio, timing), timeout=5.0)
+        except queue.Full:  # slow client: drop — the stream stays ordered
+            logger.warning("dropping audio chunk for slow consumer")
+
+    def _finish_request(self, req: _Request):
+        self._stats["served"] += 1
+        req.out_q.put(_SENTINEL)
+
+    def _peek_admissible(self, pos: int, limit: int) -> Optional[_Request]:
+        """Pop the next pending request admissible at cache position ``pos``:
+        its prompt bucket must fit below ``pos`` (join splices [pos-Tb, pos))
+        and the window must have room for it to speak."""
+        try:
+            req = self._pending.queue[0]  # peek
+        except IndexError:
+            return None
+        if req is _SENTINEL:
+            return None
+        Tb = bucket_for(req.embeds.shape[1])
+        if Tb > pos:
+            return None  # too early in the batch window — wait
+        if pos + min(req.max_new_tokens, 64) > limit:
+            return None  # not enough window left to bother joining
+        try:
+            got = self._pending.get_nowait()
+        except queue.Empty:
+            return None
+        return got if got is not _SENTINEL else None
+
+    # ---- warmup
+
+    def warmup(self, prefill_buckets=(128,), max_tth: Optional[int] = None):
+        """Compile the batched prefill/chunk/join executables ahead of
+        serving (persistent-cached, like Engine.warmup_all)."""
+        t0 = time.time()
+        eng = self.engine
+        H = self.model.cfg.talker.hidden_size
+        eng.warmup_all(self.policy, self.pred_policy,
+                       chunk_sizes=(self.chunk_size,), max_tth=max_tth)
+        state = eng.prefill(
+            jnp.zeros((self.B, PREFILL_BUCKETS[0], H), eng.dtype),
+            jax.random.PRNGKey(0), self.policy, knobs=self.knobs)
+        for Tb in prefill_buckets:
+            state = eng.join_row(
+                state, 0, jnp.zeros((1, Tb, H), eng.dtype),
+                policy=self.policy, pred_policy=self.pred_policy,
+                knobs=self.knobs)
+        jax.block_until_ready(state["token"])
+        eng.release(state)
+        logger.info("batcher warmup: %.1fs", time.time() - t0)

@@ -94,6 +94,46 @@ def test_speech_mp3_streaming(oai_server):
         assert sr == 24_000 and len(dec) > 0
 
 
+@pytest.fixture(scope="module")
+def oai_server_batched(tiny_tts, tmp_path_factory):
+    from qwen3tts_tpu.apps.openai_server import VoiceRegistry, serve
+    from qwen3tts_tpu.audio.wav import write_wav
+
+    d = tmp_path_factory.mktemp("oai_cb")
+    sr = 24_000
+    wav = (0.3 * np.sin(np.linspace(0, 400, sr))).astype(np.float32)
+    write_wav(d / "v.wav", wav, sr)
+    reg = VoiceRegistry.from_args(None, str(d / "v.wav"), "ref")
+    httpd = serve(tiny_tts, reg, host="127.0.0.1", port=0, max_batch=2)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}", httpd.tts_state
+    httpd.shutdown()
+    httpd.tts_state.batcher.close()
+
+
+def test_concurrent_requests_share_batched_engine(oai_server_batched):
+    url, state = oai_server_batched
+    results = {}
+
+    def fetch(i):
+        with _post(url + "/v1/audio/speech",
+                   {"input": f"Concurrent request {i}.", "response_format": "pcm",
+                    "max_new_tokens": 24}) as r:
+            results[i] = r.read()
+
+    threads = [threading.Thread(target=fetch, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert sorted(results) == [0, 1, 2]
+    for i, data in results.items():
+        assert len(data) > 0 and len(data) % 2 == 0, f"req {i}"
+    assert state.batcher.stats["served"] == 3
+
+
 # ---------------------------------------------------------------------------
 
 
