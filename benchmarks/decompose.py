@@ -73,7 +73,7 @@ def main():
     cfg, params = load_pretrained(f"random:{args.preset}")
     if args.quantize:
         from qwen3tts_tpu.ops.quant import quantize_bundle
-        params = quantize_bundle(params)
+        params = quantize_bundle(params, args.quantize)
     eng = Engine(params["talker"], params["predictor"], cfg,
                  use_flash_decode=False if args.no_flash else None,
                  scan_unroll=args.unroll)

@@ -124,12 +124,13 @@ class FasterQwen3TTS:
                     "byte-level tokenizer, whose token ids will NOT match the "
                     "Qwen text vocab. Place the upstream tokenizer.json in the "
                     "checkpoint dir for correct text conditioning.", model_name)
-        if quantize == "int8":
-            from ..ops.quant import quantize_bundle
+        if quantize:
+            from ..ops.quant import MODES, quantize_bundle
 
-            params = quantize_bundle(params)
-        elif quantize:
-            raise ValueError(f"unknown quantize mode '{quantize}' (use 'int8')")
+            if quantize not in MODES:
+                raise ValueError(
+                    f"unknown quantize mode '{quantize}' (use one of {MODES})")
+            params = quantize_bundle(params, quantize)
         logger.info("Loaded %s (%s, %s%s)", model_name, cfg.model_type, cfg.dtype,
                     f", {quantize}" if quantize else "")
         return cls(cfg, params, max_seq_len=max_seq_len, seed=seed,

@@ -1,13 +1,23 @@
-"""Int8 weight-only quantization for the decode path.
+"""Int8 quantization for the decode path: weight-only and w8a8.
 
 Batch-1 decode is weight-bandwidth-bound (the 0.6B talker reads ~870 MB of
 bf16 weights per step); storing matmul weights as int8 with per-output-channel
-scales halves the bytes.  XLA fuses the int8→bf16 convert + scale into the
-dot's operand read, so there is no materialized dequantized copy.
+scales halves the bytes.  Two modes:
 
-Opt-in: ``FasterQwen3TTS.from_pretrained(..., quantize="int8")``.  Only the
-layer-stack projection matrices are quantized (embeddings/norms/heads stay in
-the model dtype — they are small or accuracy-critical).
+- ``int8`` (weight-only): the int8→bf16 convert + scale is fused into the
+  dot's operand read — no materialized dequantized copy, activations stay
+  bf16.  Format: ``{"q": int8, "scale": f32}``.
+- ``w8a8``: activations are quantized per token on the fly and the dot runs
+  NATIVELY in int8 on the MXU (``preferred_element_type=int32``), skipping
+  the elementwise convert of the whole weight matrix that caps the
+  weight-only mode's effective bandwidth (benchmarks/decompose.py: int8
+  weight-only achieves ~60% of the bf16 path's GB/s).  Format:
+  ``{"q8": int8, "scale": f32}`` — the key name is the (static) mode tag.
+
+Opt-in: ``FasterQwen3TTS.from_pretrained(..., quantize="int8"|"w8a8")``.
+Only the layer-stack projection matrices (+ predictor lm_heads) are
+quantized; embeddings/norms stay in the model dtype — they are small,
+row-gathered, or accuracy-critical.
 """
 from __future__ import annotations
 
@@ -18,15 +28,16 @@ import jax.numpy as jnp
 
 # layer-stack leaves worth quantizing: [L, in, out] projection matrices
 _QUANT_KEYS = ("qkv_proj", "o_proj", "gateup_proj", "down_proj")
+MODES = ("int8", "w8a8")
 
 
-def quantize_tensor(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-    """[..., in, out] float → {'q': int8, 'scale': f32 per-out-channel}."""
+def quantize_tensor(w: jnp.ndarray, mode: str = "int8") -> Dict[str, jnp.ndarray]:
+    """[..., in, out] float → int8 + f32 per-out-channel scale."""
     wf = w.astype(jnp.float32)
     amax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)  # per out channel
     scale = jnp.maximum(amax, 1e-8) / 127.0
     q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
-    return {"q": q, "scale": scale}
+    return {"q": q, "scale": scale} if mode == "int8" else {"q8": q, "scale": scale}
 
 
 def dequant_matmul(x: jnp.ndarray, qw: Dict[str, jnp.ndarray]) -> jnp.ndarray:
@@ -35,37 +46,65 @@ def dequant_matmul(x: jnp.ndarray, qw: Dict[str, jnp.ndarray]) -> jnp.ndarray:
     return (y * qw["scale"].astype(jnp.float32)).astype(x.dtype)
 
 
+def quantize_act(x: jnp.ndarray):
+    """Dynamic per-token symmetric int8 activation quant → (x_q, x_scale)."""
+    xf = x.astype(jnp.float32)
+    xs = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+    return xq, xs
+
+
+def w8a8_matmul(x: jnp.ndarray, qw: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    """Native int8 MXU dot: quantize x per token, int8×int8→int32, rescale."""
+    xq, xs = quantize_act(x)
+    acc = jax.lax.dot_general(
+        xq, qw["q8"],
+        (((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return (acc.astype(jnp.float32) * xs * qw["scale"].astype(jnp.float32)
+            ).astype(x.dtype)
+
+
 def is_quantized(leaf: Any) -> bool:
-    return isinstance(leaf, dict) and set(leaf) == {"q", "scale"}
+    return isinstance(leaf, dict) and set(leaf) in ({"q", "scale"}, {"q8", "scale"})
 
 
-def quantize_block_stack(blocks: Dict[str, jnp.ndarray]) -> Dict[str, Any]:
+def quantize_block_stack(blocks: Dict[str, jnp.ndarray],
+                         mode: str = "int8") -> Dict[str, Any]:
     """Quantize the projection matrices of a layer-stacked block dict."""
     out: Dict[str, Any] = {}
     for k, v in blocks.items():
-        out[k] = quantize_tensor(v) if k in _QUANT_KEYS else v
+        out[k] = quantize_tensor(v, mode) if k in _QUANT_KEYS else v
     return out
 
 
-def quantize_bundle(bundle: Dict[str, Any]) -> Dict[str, Any]:
+def quantize_bundle(bundle: Dict[str, Any], mode: str = "int8") -> Dict[str, Any]:
     """Quantize the talker + predictor decode-path weights in a param bundle.
 
     Beyond the block projections, the predictor's per-codebook lm_heads are
     quantized too: they are read in FULL every frame (15 × [Hp, CB] ≈ 60 MB
     bf16 per frame — benchmarks/decompose.py), unlike embeddings which are
     row-gathered."""
+    if mode not in MODES:
+        raise ValueError(f"unknown quantize mode {mode!r}; expected one of {MODES}")
     out = dict(bundle)
     for part in ("talker", "predictor"):
         p = dict(bundle[part])
-        p["blocks"] = quantize_block_stack(p["blocks"])
+        p["blocks"] = quantize_block_stack(p["blocks"], mode)
         if part == "predictor":
-            p["lm_heads"] = quantize_tensor(p["lm_heads"])
+            # lm_head logits feed sampling directly — keep weight-only int8
+            # (bf16 accumulate over bf16 activations) even in w8a8 mode
+            p["lm_heads"] = quantize_tensor(p["lm_heads"], "int8")
         out[part] = p
     return out
 
 
 def maybe_matmul(x: jnp.ndarray, w: Any) -> jnp.ndarray:
-    """x @ w for either a plain array or a quantized {'q','scale'} dict."""
-    if is_quantized(w):
-        return dequant_matmul(x, w)
+    """x @ w for a plain array or a quantized dict (mode from its key set)."""
+    if isinstance(w, dict):
+        if "q8" in w:
+            return w8a8_matmul(x, w)
+        if "q" in w and "scale" in w:
+            return dequant_matmul(x, w)
     return x @ w

@@ -55,3 +55,40 @@ def test_unknown_quantize_mode_errors():
 
     with pytest.raises(ValueError, match="quantize"):
         FasterQwen3TTS.from_pretrained("random:tiny", quantize="fp4")
+
+
+def test_w8a8_matmul_close():
+    from qwen3tts_tpu.ops.quant import w8a8_matmul
+
+    w = jax.random.normal(jax.random.PRNGKey(0), (64, 32)) * 0.05
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, 64))
+    exact = x @ w
+    approx = w8a8_matmul(x, quantize_tensor(w, "w8a8"))
+    err = float(jnp.abs(exact - approx).max())
+    # two int8 quantizations stack: allow ~2x the weight-only tolerance
+    assert err < 0.1 * float(jnp.abs(exact).max()) + 1e-3
+
+
+def test_w8a8_maybe_matmul_dispatch():
+    from qwen3tts_tpu.ops.quant import w8a8_matmul
+
+    w = jax.random.normal(jax.random.PRNGKey(2), (16, 8)) * 0.1
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 16))
+    qw = quantize_tensor(w, "w8a8")
+    assert is_quantized(qw) and "q8" in qw
+    np.testing.assert_allclose(np.asarray(maybe_matmul(x, qw)),
+                               np.asarray(w8a8_matmul(x, qw)))
+
+
+def test_w8a8_bundle_generates(tiny_cfg, ref_wav):
+    from qwen3tts_tpu import FasterQwen3TTS
+
+    m = FasterQwen3TTS.from_pretrained("random:tiny", quantize="w8a8")
+    blocks = m.params["talker"]["blocks"]
+    assert is_quantized(blocks["qkv_proj"]) and "q8" in blocks["qkv_proj"]
+    # lm_heads stay weight-only even in w8a8 (logits feed sampling)
+    assert "q" in m.params["predictor"]["lm_heads"]
+    audio_list, sr = m.generate_voice_clone(
+        "Quantized.", "English", ref_wav, "r", max_new_tokens=6)
+    assert len(audio_list[0]) % 2000 == 0
+    assert np.isfinite(audio_list[0]).all()
