@@ -151,15 +151,16 @@ def block_forward(
     k_cache = jax.lax.dynamic_update_slice(k_cache, k, (0, write_pos, 0, 0))
     v_cache = jax.lax.dynamic_update_slice(v_cache, v, (0, write_pos, 0, 0))
 
-    if flash_ctx is not None and Tq == 1 and B == 1:
-        # Pallas flash-decode: streams only the live KV prefix from HBM
-        from ..ops.flash_decode import flash_decode
+    if flash_ctx is not None and Tq == 1:
+        # Pallas flash-decode: each row streams only ITS live KV prefix from
+        # HBM (per-row pad bounds — joined rows skip their dead blocks)
+        from ..ops.flash_decode import flash_decode_batched
 
-        attn = flash_decode(
-            q[0, 0], k_cache[0], v_cache[0],
+        attn = flash_decode_batched(
+            q[:, 0], k_cache, v_cache,
             flash_ctx["pos"], flash_ctx["pad"],
             sliding_window=flash_ctx.get("window"),
-        )[None, None]
+        )[:, None]
     else:
         attn = _attn_core(q, k_cache, v_cache, mask,
                           spec.num_heads // spec.num_kv_heads)

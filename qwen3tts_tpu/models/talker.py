@@ -200,7 +200,7 @@ def decode_step(
     # Pallas flash-decode only covers uniform (non-sliding) stacks for now
     flash_ctx = None
     if use_flash and cfg.sliding_window is None:
-        flash_ctx = {"pos": pos, "pad": pad_count[0], "window": None}
+        flash_ctx = {"pos": pos, "pad": pad_count, "window": None}
 
     x, kv = stack_forward(
         params["blocks"],

@@ -12,7 +12,13 @@ The reference leans on cuDNN SDPA over the full fixed-length mask
   - online softmax (running max / sum) in f32 scratch, GQA via a
     kv-head-batched dot.
 
-Single-token decode, batch 1: q [NH, D], cache [S, KVH, D].
+Single-token decode.  Batched form: q [B, NH, D], cache [B, S, KVH, D] with
+a grid step per row and PER-ROW pad bounds — rows admitted mid-batch by the
+continuous-batching scheduler carry large left-pads, and the kernel starts
+its DMA loop at the first live block (``pad // block``), so a joined row
+costs only its own live prefix.  The reference has no batched decode at all
+(strictly batch-1, SURVEY §2.4); its single-GPU analog would score the whole
+fixed window.
 """
 from __future__ import annotations
 
@@ -28,12 +34,12 @@ NEG_INF = -1e30
 
 
 def _kernel(
-    pos_ref,  # SMEM [1] int32 — current absolute position
-    pad_ref,  # SMEM [1] int32 — left-pad count
-    q_ref,  # VMEM [KVH, G, D]
-    k_hbm,  # ANY [S, KVH, D]
-    v_hbm,  # ANY [S, KVH, D]
-    o_ref,  # VMEM [KVH, G, D]
+    pos_ref,  # SMEM [1] int32 — current absolute position (shared)
+    pad_ref,  # SMEM [B] int32 — PER-ROW left-pad counts
+    q_ref,  # VMEM [1, KVH, G, D] — this grid step's row
+    k_hbm,  # ANY [B, S, KVH, D]
+    v_hbm,  # ANY [B, S, KVH, D]
+    o_ref,  # VMEM [1, KVH, G, D]
     kbuf,  # VMEM scratch [2, BS, KVH, D]
     vbuf,  # VMEM scratch [2, BS, KVH, D]
     m_scr,  # VMEM scratch [KVH, G, 128] f32 (running max, lane-replicated)
@@ -45,31 +51,35 @@ def _kernel(
     sliding_window: Optional[int],
     scale: float,
 ):
+    b = pl.program_id(0)
     pos = pos_ref[0]
-    pad = pad_ref[0]
+    pad = pad_ref[b]
     BS = block_size
-    KVH, G, D = q_ref.shape
+    _, KVH, G, D = q_ref.shape
     nb = (pos + 1 + BS - 1) // BS  # dynamic trip count — the whole point
+    i0 = pad // BS  # first block with any live slot for THIS row
+    if sliding_window is not None:
+        i0 = jnp.maximum(i0, jnp.maximum(pos - sliding_window + 1, 0) // BS)
 
     def k_dma(i, slot):
         return pltpu.make_async_copy(
-            k_hbm.at[pl.ds(i * BS, BS)], kbuf.at[slot], sems.at[slot, 0]
+            k_hbm.at[b, pl.ds(i * BS, BS)], kbuf.at[slot], sems.at[slot, 0]
         )
 
     def v_dma(i, slot):
         return pltpu.make_async_copy(
-            v_hbm.at[pl.ds(i * BS, BS)], vbuf.at[slot], sems.at[slot, 1]
+            v_hbm.at[b, pl.ds(i * BS, BS)], vbuf.at[slot], sems.at[slot, 1]
         )
 
     # warm up the pipeline
-    k_dma(0, 0).start()
-    v_dma(0, 0).start()
+    k_dma(i0, jax.lax.rem(i0, 2)).start()
+    v_dma(i0, jax.lax.rem(i0, 2)).start()
 
     m_scr[...] = jnp.full_like(m_scr, NEG_INF)
     l_scr[...] = jnp.zeros_like(l_scr)
     acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[...].astype(jnp.float32)  # [KVH, G, D]
+    q = q_ref[0].astype(jnp.float32)  # [KVH, G, D]
 
     def body(i, _):
         slot = jax.lax.rem(i, 2)
@@ -113,27 +123,31 @@ def _kernel(
         acc_scr[...] = acc_scr[...] * corr + pv
         return 0
 
-    jax.lax.fori_loop(0, nb, body, 0)
-    o_ref[...] = (acc_scr[...] / l_scr[:, :, 0:1]).astype(o_ref.dtype)
+    jax.lax.fori_loop(i0, nb, body, 0)
+    # max(denom, tiny): a fully-padded row (zero live slots) divides 0/0
+    # otherwise and NaNs would leak into its (ignored) lane
+    o_ref[0] = (acc_scr[...] / jnp.maximum(l_scr[:, :, 0:1], 1e-30)
+                ).astype(o_ref.dtype)
 
 
 @functools.partial(
     jax.jit, static_argnames=("block_size", "sliding_window", "interpret")
 )
-def flash_decode(
-    q: jnp.ndarray,  # [NH, D] (post rope+norm)
-    k_cache: jnp.ndarray,  # [S, KVH, D]
-    v_cache: jnp.ndarray,  # [S, KVH, D]
-    pos: jnp.ndarray,  # scalar int32
-    pad_count: jnp.ndarray,  # scalar int32
+def flash_decode_batched(
+    q: jnp.ndarray,  # [B, NH, D] (post rope+norm)
+    k_cache: jnp.ndarray,  # [B, S, KVH, D]
+    v_cache: jnp.ndarray,  # [B, S, KVH, D]
+    pos: jnp.ndarray,  # scalar int32 (shared cache position)
+    pad_count: jnp.ndarray,  # [B] int32 per-row left pads
     *,
     block_size: int = 256,
     sliding_window: Optional[int] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Returns attention output [NH, D] (same dtype as q)."""
-    S, KVH, D = k_cache.shape
-    NH = q.shape[0]
+    """Returns attention output [B, NH, D] (same dtype as q); one grid step
+    per row, each reading only its own live KV prefix from HBM."""
+    B, S, KVH, D = k_cache.shape
+    NH = q.shape[1]
     G = NH // KVH
     block_size = min(block_size, S)
     assert S % block_size == 0, (S, block_size)
@@ -143,17 +157,17 @@ def flash_decode(
         raise ValueError(
             f"flash_decode requires head_dim % 128 == 0 on TPU (got {D}); "
             "use the XLA attention path for this config")
-    qg = q.reshape(KVH, G, D)
+    qg = q.reshape(B, KVH, G, D)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(1,),
+        grid=(B,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # q
-            pl.BlockSpec(memory_space=pltpu.ANY),  # k (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),  # v (HBM)
+            pl.BlockSpec((1, KVH, G, D), lambda b, *_: (b, 0, 0, 0)),  # q row
+            pl.BlockSpec(memory_space=pl.ANY),  # k (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),  # v (HBM)
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, KVH, G, D), lambda b, *_: (b, 0, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, block_size, KVH, D), k_cache.dtype),
             pltpu.VMEM((2, block_size, KVH, D), v_cache.dtype),
@@ -169,16 +183,37 @@ def flash_decode(
             scale=D**-0.5,
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((KVH, G, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, KVH, G, D), q.dtype),
         interpret=interpret,
     )(
         jnp.reshape(pos.astype(jnp.int32), (1,)),
-        jnp.reshape(pad_count.astype(jnp.int32), (1,)),
+        jnp.broadcast_to(jnp.asarray(pad_count, jnp.int32).reshape(-1), (B,)),
         qg,
         k_cache,
         v_cache,
     )
-    return out.reshape(NH, D)
+    return out.reshape(B, NH, D)
+
+
+def flash_decode(
+    q: jnp.ndarray,  # [NH, D]
+    k_cache: jnp.ndarray,  # [S, KVH, D]
+    v_cache: jnp.ndarray,  # [S, KVH, D]
+    pos: jnp.ndarray,
+    pad_count: jnp.ndarray,  # scalar int32
+    *,
+    block_size: int = 256,
+    sliding_window: Optional[int] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Single-row convenience wrapper.  Returns [NH, D]."""
+    out = flash_decode_batched(
+        q[None], k_cache[None], v_cache[None], pos,
+        jnp.reshape(pad_count, (1,)),
+        block_size=block_size, sliding_window=sliding_window,
+        interpret=interpret,
+    )
+    return out[0]
 
 
 def flash_decode_reference(q, k_cache, v_cache, pos, pad_count,

@@ -43,3 +43,38 @@ def test_dynamic_trip_count_independent_of_tail():
                        block_size=64, interpret=True)
     ref = flash_decode_reference(q, k, v, 63, 0)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_batched_rows_match_per_row_oracle():
+    import jax
+
+    from qwen3tts_tpu.ops.flash_decode import flash_decode_batched
+
+    B, S, KVH, G, D = 3, 256, 2, 4, 64
+    NH = KVH * G
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, NH, D), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, S, KVH, D), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, S, KVH, D), jnp.float32)
+    pos = 120
+    pads = jnp.asarray([0, 37, 100], jnp.int32)  # incl. a joined-row-style pad
+    out = flash_decode_batched(q, k, v, jnp.int32(pos), pads, block_size=64)
+    for b in range(B):
+        ref = flash_decode_reference(q[b], k[b], v[b], pos, int(pads[b]))
+        np.testing.assert_allclose(np.asarray(out[b]), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_batched_fully_padded_row_is_finite():
+    import jax
+
+    from qwen3tts_tpu.ops.flash_decode import flash_decode_batched
+
+    B, S, KVH, G, D = 2, 128, 2, 2, 64
+    NH = KVH * G
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, NH, D), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, S, KVH, D), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, S, KVH, D), jnp.float32)
+    # row 1 has pad > pos: zero live slots — its lane must not NaN
+    out = flash_decode_batched(q, k, v, jnp.int32(10), jnp.asarray([0, 64]),
+                               block_size=64)
+    assert np.isfinite(np.asarray(out)).all()
