@@ -59,7 +59,9 @@ def main():
     p.add_argument("--iters", type=int, default=50)
     p.add_argument("--quantize", default=None)
     p.add_argument("--no-flash", action="store_true")
+    p.add_argument("--no-fused", action="store_true")
     p.add_argument("--unroll", type=int, default=1)
+    p.add_argument("--max-seq-len", type=int, default=2048)
     args = p.parse_args()
 
     from qwen3tts_tpu.core.loader import load_pretrained
@@ -76,7 +78,8 @@ def main():
         params = quantize_bundle(params, args.quantize)
     eng = Engine(params["talker"], params["predictor"], cfg,
                  use_flash_decode=False if args.no_flash else None,
-                 scan_unroll=args.unroll)
+                 use_fused_kernels=False if args.no_fused else None,
+                 scan_unroll=args.unroll, max_seq_len=args.max_seq_len)
     log(f"load: {time.time()-t0:.1f}s on {jax.devices()[0]}")
 
     H = cfg.talker.hidden_size
@@ -106,7 +109,8 @@ def main():
     def talker_step(tp, x, pos, pad, kv):
         h, kv = talker_lib.decode_step(tp, tcfg, x, pos, pad, kv,
                                        use_flash=eng.use_flash_decode,
-                                       unroll=eng.scan_unroll)
+                                       unroll=eng.scan_unroll,
+                                       fused=eng.use_fused_kernels)
         return talker_lib.codec_head(tp, h[:, 0, :]), kv
 
     pos0 = state["pos"]
@@ -128,7 +132,8 @@ def main():
     def pred_frame(pp, k):
         return predictor_lib.predict_frame(
             pp, cfg.predictor, pred_in, k, ppol.static,
-            temperature=jnp.float32(0.9), top_p=jnp.float32(1.0))
+            temperature=jnp.float32(0.9), top_p=jnp.float32(1.0),
+            fused=eng.use_fused_kernels)
 
     log("pred_frame: compiling...")
     t_pred = timeit(lambda: pred_frame(params["predictor"], key),

@@ -122,21 +122,45 @@ def block_forward(
     x: jnp.ndarray,  # [B, Tq, H]
     cos: jnp.ndarray,  # [B, Tq, D]
     sin: jnp.ndarray,
-    k_cache: jnp.ndarray,  # [B, S, KVH, D]
-    v_cache: jnp.ndarray,
+    k_stack: jnp.ndarray,  # [L, B, S, KVH, D] — FULL stacked cache
+    v_stack: jnp.ndarray,
+    layer_idx: jnp.ndarray,  # scalar int32 — this block's slot in the stack
     write_pos: jnp.ndarray,  # scalar int32 — where new K/V rows go
     mask: jnp.ndarray,  # [B, Tq, S] bool
     spec: BlockSpec,
     flash_ctx: Optional[Dict] = None,  # {"pos","pad","window"} → Pallas decode
+    fused: bool = False,  # Pallas weight-streaming kernels (ops/fused_block.py)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One decoder block over an S-slot static KV cache.  Returns
-    (x_out, k_cache', v_cache')."""
+    (x_out, k_stack', v_stack').
+
+    The cache is passed STACKED with a (traced) layer index, written with one
+    in-place ``dynamic_update_slice`` and — on the flash path — read by the
+    Pallas kernel straight from HBM.  Scanning over per-layer cache slices
+    instead (the round-1 layout) made XLA materialize/re-stack each layer's
+    ~8 MB slice every decode step: ~1 ms/step of pure copy traffic on the
+    0.6B talker at S=2048 (measured, benchmarks/decompose.py --max-seq-len).
+    """
     B, Tq, H = x.shape
     p = layer_params
     eps = spec.rms_norm_eps
 
-    h = rms_norm(x, p["input_norm"], eps)
-    qkv = maybe_matmul(h, p["qkv_proj"])
+    # Fused weight-streaming path: decode-shaped activations (few rows) with
+    # plain (unquantized) weights.  The small ops are recomputed inline while
+    # the weight tiles stream — see ops/fused_block.py for the measurements.
+    from ..ops.quant import is_quantized
+
+    fused = fused and B * Tq <= 32 and not is_quantized(p["qkv_proj"])
+
+    if fused:
+        from ..ops.fused_block import fused_norm_matmul
+
+        qkv = fused_norm_matmul(
+            x.reshape(B * Tq, H), p["input_norm"], p["qkv_proj"], eps=eps
+        ).reshape(B, Tq, -1)
+    else:
+        h = rms_norm(x, p["input_norm"], eps)
+        qkv = maybe_matmul(h, p["qkv_proj"])
     q = qkv[..., : spec.q_dim].reshape(B, Tq, spec.num_heads, spec.head_dim)
     k = qkv[..., spec.q_dim : spec.q_dim + spec.kv_dim].reshape(
         B, Tq, spec.num_kv_heads, spec.head_dim)
@@ -148,29 +172,48 @@ def block_forward(
     q = q.astype(x.dtype)
     k = k.astype(x.dtype)  # ...but K/V are cached in the model dtype
 
-    k_cache = jax.lax.dynamic_update_slice(k_cache, k, (0, write_pos, 0, 0))
-    v_cache = jax.lax.dynamic_update_slice(v_cache, v, (0, write_pos, 0, 0))
+    k_stack = jax.lax.dynamic_update_slice(
+        k_stack, k[None], (layer_idx, 0, write_pos, 0, 0))
+    v_stack = jax.lax.dynamic_update_slice(
+        v_stack, v[None], (layer_idx, 0, write_pos, 0, 0))
 
     if flash_ctx is not None and Tq == 1:
         # Pallas flash-decode: each row streams only ITS live KV prefix from
-        # HBM (per-row pad bounds — joined rows skip their dead blocks)
-        from ..ops.flash_decode import flash_decode_batched
+        # HBM (per-row pad bounds — joined rows skip their dead blocks),
+        # reading layer ``layer_idx`` directly out of the stacked cache
+        from ..ops.flash_decode import flash_decode_stacked
 
-        attn = flash_decode_batched(
-            q[:, 0], k_cache, v_cache,
+        attn = flash_decode_stacked(
+            q[:, 0], k_stack, v_stack, layer_idx,
             flash_ctx["pos"], flash_ctx["pad"],
             sliding_window=flash_ctx.get("window"),
         )[:, None]
     else:
-        attn = _attn_core(q, k_cache, v_cache, mask,
+        k_l = jax.lax.dynamic_index_in_dim(k_stack, layer_idx, 0, keepdims=False)
+        v_l = jax.lax.dynamic_index_in_dim(v_stack, layer_idx, 0, keepdims=False)
+        attn = _attn_core(q, k_l, v_l, mask,
                           spec.num_heads // spec.num_kv_heads)
-    x = x + maybe_matmul(attn.reshape(B, Tq, spec.q_dim), p["o_proj"])
+    if fused:
+        from ..ops.fused_block import fused_o_mlp
 
-    h = rms_norm(x, p["post_norm"], eps)
-    gu = maybe_matmul(h, p["gateup_proj"])
-    I = spec.intermediate_size
-    x = x + maybe_matmul(jax.nn.silu(gu[..., :I]) * gu[..., I:], p["down_proj"])
-    return x, k_cache, v_cache
+        x = fused_o_mlp(
+            x.reshape(B * Tq, H),
+            attn.reshape(B * Tq, spec.q_dim),
+            p["o_proj"],
+            p["post_norm"],
+            p["gateup_proj"],
+            p["down_proj"],
+            eps=eps,
+        ).reshape(B, Tq, H)
+    else:
+        x = x + maybe_matmul(attn.reshape(B, Tq, spec.q_dim), p["o_proj"])
+
+        h = rms_norm(x, p["post_norm"], eps)
+        gu = maybe_matmul(h, p["gateup_proj"])
+        I = spec.intermediate_size
+        x = x + maybe_matmul(
+            jax.nn.silu(gu[..., :I]) * gu[..., I:], p["down_proj"])
+    return x, k_stack, v_stack
 
 
 def stack_forward(
@@ -186,8 +229,15 @@ def stack_forward(
     layer_is_sliding: Optional[jnp.ndarray] = None,  # [L] bool
     flash_ctx: Optional[Dict] = None,
     unroll: int = 1,
+    fused: bool = False,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Run the whole layer stack with lax.scan.  Returns (x_out, kv').
+
+    The KV cache rides the scan CARRY as the full stacked array and is
+    updated with one in-place dynamic_update_slice per layer.  (Round 1
+    scanned over per-layer slices as xs/ys, which forced XLA to re-stack —
+    i.e. copy — every layer's cache slice each step; at S=2048 that was
+    ~470 MB of hidden traffic per talker decode step.)
 
     ``unroll``: scan unroll factor — >1 lets XLA software-pipeline the next
     layer's weight DMA across the loop boundary (longer compile, measured
@@ -198,15 +248,18 @@ def stack_forward(
         mask_sliding = mask_full
 
     def body(carry, inp):
-        xc = carry
-        lp, kc, vc, sliding = inp
+        xc, kk, vv = carry
+        lp, sliding, l = inp
         m = jnp.where(sliding, mask_sliding, mask_full)
-        xc, kc, vc = block_forward(lp, xc, cos, sin, kc, vc, write_pos, m, spec,
-                                   flash_ctx=flash_ctx)
-        return xc, (kc, vc)
+        xc, kk, vv = block_forward(lp, xc, cos, sin, kk, vv, l, write_pos, m,
+                                   spec, flash_ctx=flash_ctx, fused=fused)
+        return (xc, kk, vv), None
 
-    x_out, (k_new, v_new) = jax.lax.scan(
-        body, x, (stack_params, kv["k"], kv["v"], layer_is_sliding),
+    (x_out, k_new, v_new), _ = jax.lax.scan(
+        body,
+        (x, kv["k"], kv["v"]),
+        (stack_params, layer_is_sliding,
+         jnp.arange(spec.num_layers, dtype=jnp.int32)),
         unroll=unroll,
     )
     return x_out, {"k": k_new, "v": v_new}

@@ -133,6 +133,7 @@ def predict_frame(
     policy,  # SamplingPolicy or StaticPolicy
     temperature=None,  # traced scalar; defaults to policy.temperature
     top_p=None,  # traced scalar; defaults to policy.top_p
+    fused: bool = False,  # Pallas weight-streaming kernels in the micro-steps
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run the full 15-codebook frame.  Returns (tokens [B, 15], embed_sum
     [B, 1, H_talker]) where embed_sum = Σ_i codec_embeddings[i][tokens_i] —
@@ -179,7 +180,8 @@ def predict_frame(
         pos = jnp.int32(1) + cb  # cache position 2 + (cb-1)
         cos_d, sin_d = _rope(cfg, jnp.broadcast_to(pos[None, None], (B, 1)))
         m_d = decode_mask(S, pos, zero_pad, cfg.sliding_window)
-        x, kv_c = stack_forward(params["blocks"], x, cos_d, sin_d, kv_c, pos, m_d, spec)
+        x, kv_c = stack_forward(params["blocks"], x, cos_d, sin_d, kv_c, pos, m_d,
+                                spec, fused=fused)
         x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
         logits = _lm_logits(params, cb, x[:, -1, :])
         tok = sample_logits(

@@ -178,6 +178,7 @@ def decode_step(
     kv: Dict[str, jnp.ndarray],
     use_flash: bool = False,
     unroll: int = 1,
+    fused: bool = False,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Single-token decode over the static cache.  Returns (hidden [B,1,H], kv').
 
@@ -215,6 +216,7 @@ def decode_step(
         layer_is_sliding=layer_sliding_flags(cfg) if m_slide is not None else None,
         flash_ctx=flash_ctx,
         unroll=unroll,
+        fused=fused,
     )
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     return x, kv

@@ -34,11 +34,12 @@ NEG_INF = -1e30
 
 
 def _kernel(
+    lay_ref,  # SMEM [1] int32 — layer index into the stacked cache
     pos_ref,  # SMEM [1] int32 — current absolute position (shared)
     pad_ref,  # SMEM [B] int32 — PER-ROW left-pad counts
     q_ref,  # VMEM [1, KVH, G, D] — this grid step's row
-    k_hbm,  # ANY [B, S, KVH, D]
-    v_hbm,  # ANY [B, S, KVH, D]
+    k_hbm,  # ANY [L, B, S, KVH, D] — full stacked cache; only layer l is read
+    v_hbm,  # ANY [L, B, S, KVH, D]
     o_ref,  # VMEM [1, KVH, G, D]
     kbuf,  # VMEM scratch [2, BS, KVH, D]
     vbuf,  # VMEM scratch [2, BS, KVH, D]
@@ -52,6 +53,7 @@ def _kernel(
     scale: float,
 ):
     b = pl.program_id(0)
+    lay = lay_ref[0]
     pos = pos_ref[0]
     pad = pad_ref[b]
     BS = block_size
@@ -63,12 +65,12 @@ def _kernel(
 
     def k_dma(i, slot):
         return pltpu.make_async_copy(
-            k_hbm.at[b, pl.ds(i * BS, BS)], kbuf.at[slot], sems.at[slot, 0]
+            k_hbm.at[lay, b, pl.ds(i * BS, BS)], kbuf.at[slot], sems.at[slot, 0]
         )
 
     def v_dma(i, slot):
         return pltpu.make_async_copy(
-            v_hbm.at[b, pl.ds(i * BS, BS)], vbuf.at[slot], sems.at[slot, 1]
+            v_hbm.at[lay, b, pl.ds(i * BS, BS)], vbuf.at[slot], sems.at[slot, 1]
         )
 
     # warm up the pipeline
@@ -133,10 +135,11 @@ def _kernel(
 @functools.partial(
     jax.jit, static_argnames=("block_size", "sliding_window", "interpret")
 )
-def flash_decode_batched(
+def flash_decode_stacked(
     q: jnp.ndarray,  # [B, NH, D] (post rope+norm)
-    k_cache: jnp.ndarray,  # [B, S, KVH, D]
-    v_cache: jnp.ndarray,  # [B, S, KVH, D]
+    k_stack: jnp.ndarray,  # [L, B, S, KVH, D] — the full layer-stacked cache
+    v_stack: jnp.ndarray,  # [L, B, S, KVH, D]
+    layer: jnp.ndarray,  # scalar int32 — which layer's cache to read
     pos: jnp.ndarray,  # scalar int32 (shared cache position)
     pad_count: jnp.ndarray,  # [B] int32 per-row left pads
     *,
@@ -145,8 +148,14 @@ def flash_decode_batched(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Returns attention output [B, NH, D] (same dtype as q); one grid step
-    per row, each reading only its own live KV prefix from HBM."""
-    B, S, KVH, D = k_cache.shape
+    per row, each reading only its own live KV prefix from HBM.
+
+    Takes the WHOLE stacked cache + a (traced) layer index so the per-layer
+    decode scan never materializes a per-layer cache slice — the kernel DMAs
+    straight out of ``k_stack[layer]`` in HBM.  (Slicing the stack in XLA
+    first would copy ~8 MB per layer per step, which measurably dominates the
+    talker decode step — see benchmarks/decompose.py --max-seq-len.)"""
+    L, B, S, KVH, D = k_stack.shape
     NH = q.shape[1]
     G = NH // KVH
     block_size = min(block_size, S)
@@ -160,7 +169,7 @@ def flash_decode_batched(
     qg = q.reshape(B, KVH, G, D)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, KVH, G, D), lambda b, *_: (b, 0, 0, 0)),  # q row
@@ -169,8 +178,8 @@ def flash_decode_batched(
         ],
         out_specs=pl.BlockSpec((1, KVH, G, D), lambda b, *_: (b, 0, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, block_size, KVH, D), k_cache.dtype),
-            pltpu.VMEM((2, block_size, KVH, D), v_cache.dtype),
+            pltpu.VMEM((2, block_size, KVH, D), k_stack.dtype),
+            pltpu.VMEM((2, block_size, KVH, D), v_stack.dtype),
             pltpu.VMEM((KVH, G, 128), jnp.float32),
             pltpu.VMEM((KVH, G, 128), jnp.float32),
             pltpu.VMEM((KVH, G, D), jnp.float32),
@@ -186,13 +195,33 @@ def flash_decode_batched(
         out_shape=jax.ShapeDtypeStruct((B, KVH, G, D), q.dtype),
         interpret=interpret,
     )(
+        jnp.reshape(layer.astype(jnp.int32), (1,)),
         jnp.reshape(pos.astype(jnp.int32), (1,)),
         jnp.broadcast_to(jnp.asarray(pad_count, jnp.int32).reshape(-1), (B,)),
         qg,
-        k_cache,
-        v_cache,
+        k_stack,
+        v_stack,
     )
     return out.reshape(B, NH, D)
+
+
+def flash_decode_batched(
+    q: jnp.ndarray,  # [B, NH, D]
+    k_cache: jnp.ndarray,  # [B, S, KVH, D]
+    v_cache: jnp.ndarray,  # [B, S, KVH, D]
+    pos: jnp.ndarray,
+    pad_count: jnp.ndarray,  # [B] int32
+    *,
+    block_size: int = 256,
+    sliding_window: Optional[int] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Single-layer convenience wrapper over flash_decode_stacked."""
+    return flash_decode_stacked(
+        q, k_cache[None], v_cache[None], jnp.int32(0), pos, pad_count,
+        block_size=block_size, sliding_window=sliding_window,
+        interpret=interpret,
+    )
 
 
 def flash_decode(

@@ -117,6 +117,7 @@ class Engine:
         max_seq_len: int = 2048,
         batch: int = 1,
         use_flash_decode: Optional[bool] = None,
+        use_fused_kernels: Optional[bool] = None,
         scan_unroll: int = 1,
     ):
         self.cfg = cfg
@@ -138,6 +139,19 @@ class Engine:
                 and cfg.talker.head_dim % 128 == 0
             )
         self.use_flash_decode = use_flash_decode
+        if use_fused_kernels is None:
+            # auto: the fused weight-streaming kernels (ops/fused_block.py)
+            # replace the decode step's 2-12 MB matvecs, whose DMA-startup
+            # cost caps the talker at ~220 GB/s of the ~530 GB/s a pipelined
+            # stream achieves.  CPU would run them interpreted (slow), and
+            # the quantized path keeps its own XLA formulation.
+            from ..ops.quant import is_quantized
+
+            use_fused_kernels = (
+                jax.default_backend() not in ("cpu",)
+                and not is_quantized(talker_params["blocks"]["qkv_proj"])
+            )
+        self.use_fused_kernels = use_fused_kernels
         self.scan_unroll = scan_unroll
         self._suppress = jnp.asarray(
             build_suppress_mask(cfg.talker.vocab_size, self.eos_id)
@@ -301,6 +315,7 @@ class Engine:
         cb_tokens, cb_embed_sum = predictor_lib.predict_frame(
             pred_params, pcfg, pred_input, kp, pred_policy,
             temperature=knobs[4], top_p=knobs[5],
+            fused=self.use_fused_kernels,
         )
         frame = jnp.concatenate([token[:, None], cb_tokens], axis=1)  # [B, 16]
 
@@ -318,6 +333,7 @@ class Engine:
         hidden, kv = talker_lib.decode_step(
             talker_params, tcfg, x, state["pos"], state["pad_count"], state["kv"],
             use_flash=self.use_flash_decode, unroll=self.scan_unroll,
+            fused=self.use_fused_kernels,
         )
         logits = talker_lib.codec_head(talker_params, hidden[:, 0, :])
 
