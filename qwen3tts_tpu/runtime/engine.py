@@ -140,17 +140,14 @@ class Engine:
             )
         self.use_flash_decode = use_flash_decode
         if use_fused_kernels is None:
-            # auto: the fused weight-streaming kernels (ops/fused_block.py)
-            # replace the decode step's 2-12 MB matvecs, whose DMA-startup
-            # cost caps the talker at ~220 GB/s of the ~530 GB/s a pipelined
-            # stream achieves.  CPU would run them interpreted (slow), and
-            # the quantized path keeps its own XLA formulation.
-            from ..ops.quant import is_quantized
-
-            use_fused_kernels = (
-                jax.default_backend() not in ("cpu",)
-                and not is_quantized(talker_params["blocks"]["qkv_proj"])
-            )
+            # Default OFF: with the KV cache riding the scan carry (the real
+            # round-1 bottleneck — see models/layers.py:stack_forward), the
+            # fused weight-streaming kernels (ops/fused_block.py) measured
+            # neutral-to-slightly-negative on v5e (decompose.py: talker 2.72ms
+            # plain vs 4.28ms fused pre-carry-fix; per-pallas_call pipeline
+            # warmup eats the streaming gain at these 4-12 MB matmul sizes).
+            # Kept as an opt-in for tile-size tuning experiments.
+            use_fused_kernels = False
         self.use_fused_kernels = use_fused_kernels
         self.scan_unroll = scan_unroll
         self._suppress = jnp.asarray(
