@@ -146,7 +146,8 @@ class FasterQwen3TTS:
         if self._warmed_up:
             return
         logger.info("Compiling jitted decode executables (one-time)...")
-        self.engine.warmup(prefill_len, tth_len, policy, pred_policy, chunk_sizes)
+        self.engine.warmup(prefill_len, tth_len, policy, pred_policy,
+                           chunk_sizes, vocoder=self.vocoder)
         self._warmed_up = True
 
     def warmup_all(self, chunk_sizes=(8, 16), max_prefill: Optional[int] = None):
@@ -155,7 +156,9 @@ class FasterQwen3TTS:
         stall.  Servers call this at startup; all programs land in the
         persistent XLA cache so restarts are cache reads."""
         pol, ppol = self._policies(0.9, 50, 1.0, True, 1.05, 2)
-        dt = self.engine.warmup_all(pol, ppol, chunk_sizes, max_prefill=max_prefill)
+        dt = self.engine.warmup_all(pol, ppol, chunk_sizes,
+                                    max_prefill=max_prefill,
+                                    vocoder=self.vocoder)
         self._warmed_up = True
         logger.info("warmup_all finished in %.1fs", dt)
         return dt
@@ -503,18 +506,23 @@ class FasterQwen3TTS:
     def _stream_audio(self, embeds, trailing, tpe, ref_codes, pol, ppol,
                       max_new_tokens, chunk_size, parity_mode=False,
                       first_chunks=()):
+        if not parity_mode:
+            # fused decode+vocode device program: one dispatch + one fetch
+            # per audio chunk (Engine.chunk_vocode); sample-exact vs the
+            # StreamDecoder path (same window layout, strict causality)
+            for _codes, audio, timing in loops.fast_generate_streaming_audio(
+                self.engine, self.vocoder, embeds, trailing, tpe,
+                key=self._next_key(), max_new_tokens=max_new_tokens,
+                policy=pol, pred_policy=ppol, chunk_size=chunk_size,
+                first_chunks=first_chunks, ref_codes=ref_codes,
+            ):
+                yield audio, self.sample_rate, timing
+            return
         sd = self.vocoder.stream_decoder(chunk_size)
         if ref_codes is not None and len(ref_codes):
             sd.feed(np.asarray(ref_codes))  # prime acoustic context, discard audio
-        if parity_mode:
-            codes_iter = self._parity_stream(embeds, trailing, tpe, pol, ppol,
-                                             max_new_tokens, chunk_size)
-        else:
-            codes_iter = loops.fast_generate_streaming(
-                self.engine, embeds, trailing, tpe, key=self._next_key(),
-                max_new_tokens=max_new_tokens, policy=pol, pred_policy=ppol,
-                chunk_size=chunk_size, first_chunks=first_chunks,
-            )
+        codes_iter = self._parity_stream(embeds, trailing, tpe, pol, ppol,
+                                         max_new_tokens, chunk_size)
         for codec_chunk, timing in codes_iter:
             audio = sd.feed(codec_chunk)
             yield audio, self.sample_rate, timing

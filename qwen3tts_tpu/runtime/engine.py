@@ -457,6 +457,82 @@ class Engine:
         )
 
     # ------------------------------------------------------------------
+    # fused decode-chunk + streaming-vocoder window (one device program)
+    # ------------------------------------------------------------------
+
+    def _build_chunk_vocode(self, vocoder, chunk_size: int):
+        """Compile decode_chunk + the codec's sliding-window decode into ONE
+        program: one dispatch and one host fetch per streamed audio chunk.
+
+        The separate-program streaming path pays ~3-4 host↔device round
+        trips per chunk (chunk dispatch, frames fetch, codes upload + vocoder
+        dispatch, audio fetch); on the latency path those round trips rival
+        the device time of the chunk itself.  The reference necessarily
+        splits them too (CUDA-graph decode, then speech_tokenizer decode —
+        model.py:769-826); a jitted composite is the TPU-native fix.
+
+        Window layout matches audio/vocoder.py:StreamDecoder exactly —
+        [valid context frames, new chunk frames, right-pad] — so the fused
+        path is sample-exact vs the unfused one (strict causality makes the
+        right-pad immaterial)."""
+        from ..models import codec as codec_lib
+
+        CTX = vocoder.context_frames
+        spf = vocoder.spf
+        NQ = vocoder.cfg.num_quantizers
+        voc_cfg = vocoder.cfg
+
+        def impl(talker_params, pred_params, voc_params, state, tth, tth_len,
+                 tpe, knobs, ctx_buf, ctx_len, policy, pred_policy):
+            state, frames, n, lens, done = self._chunk_impl(
+                talker_params, pred_params, state, tth, tth_len, tpe, knobs,
+                policy, pred_policy, chunk_size)
+            # window = [ctx (ctx_len valid), chunk frames, zeros] — invariant:
+            # ctx_buf rows >= ctx_len are zero, so stale rows never precede
+            # the new frames
+            hist = jnp.concatenate(
+                [ctx_buf, jnp.zeros((chunk_size, NQ), jnp.int32)], axis=0)
+            hist = jax.lax.dynamic_update_slice(
+                hist, frames[0], (ctx_len, jnp.int32(0)))
+            wav = codec_lib.decode(voc_params, codes=hist[None], cfg=voc_cfg)
+            audio = jax.lax.dynamic_slice(
+                wav, (jnp.int32(0), ctx_len * spf), (1, chunk_size * spf))[0]
+            # slide the context window; only exact when n == chunk_size,
+            # which holds for every non-final chunk (the final chunk's
+            # context is never used again)
+            start = jnp.clip(ctx_len + n - CTX, 0, chunk_size)
+            new_ctx = jax.lax.dynamic_slice(hist, (start, jnp.int32(0)),
+                                            (CTX, NQ))
+            new_len = jnp.minimum(ctx_len + n, CTX)
+            return state, frames, n, lens, done, audio, new_ctx, new_len
+
+        return jax.jit(impl, static_argnames=("policy", "pred_policy"),
+                       donate_argnames=("state",))
+
+    def chunk_vocode(self, vocoder, state, tth, tth_len, tpe, policy,
+                     pred_policy, chunk_size, ctx_buf, ctx_len, knobs=None):
+        """Fused decode_chunk + vocoder window.  Returns
+        (state, frames, n, lens, done, audio [chunk*spf] f32, ctx_buf',
+        ctx_len') — batch-1 streaming only.  ``audio`` must be trimmed to
+        ``n*spf`` samples by the caller."""
+        assert self.batch == 1, "fused streaming vocode is batch-1"
+        if knobs is None:
+            knobs = make_knobs(policy, pred_policy)
+        cache = getattr(self, "_chunk_vocode_cache", None)
+        if cache is None:
+            cache = self._chunk_vocode_cache = {}
+        ck = (id(vocoder), chunk_size)
+        fn = cache.get(ck)
+        if fn is None:
+            fn = cache[ck] = self._build_chunk_vocode(vocoder, chunk_size)
+        return fn(
+            self.talker_params, self.predictor_params, vocoder.params, state,
+            tth, self._tth_len_vec(tth_len), tpe, knobs,
+            ctx_buf, jnp.asarray(ctx_len, jnp.int32),
+            policy=policy.static, pred_policy=pred_policy.static,
+        )
+
+    # ------------------------------------------------------------------
     # continuous batching: admit one request into a running batch
     # ------------------------------------------------------------------
 
@@ -573,8 +649,11 @@ class Engine:
         policy: GenerationPolicy,
         pred_policy: SamplingPolicy,
         chunk_sizes=(8,),
+        vocoder=None,
     ) -> float:
-        """Compile the prefill bucket + chunk executables.  Returns seconds."""
+        """Compile the prefill bucket + chunk executables (and, when a
+        ``vocoder`` is given, the fused chunk+vocode streaming programs).
+        Returns seconds."""
         t0 = time.time()
         B, H = self.batch, self.talker_cfg.hidden_size
         Tb = bucket_for(prefill_len)
@@ -592,6 +671,13 @@ class Engine:
             state, frames, n, lens, done = self.decode_chunk(
                 state, tth, 0, tpe, policy, pred_policy, cs, knobs=knobs
             )
+        if vocoder is not None and B == 1:
+            ctx = jnp.zeros((vocoder.context_frames,
+                             vocoder.cfg.num_quantizers), jnp.int32)
+            for cs in chunk_sizes:
+                out = self.chunk_vocode(vocoder, state, tth, 0, tpe, policy,
+                                        pred_policy, cs, ctx, 0, knobs=knobs)
+                state = out[0]
         jax.block_until_ready(state)
         self._warmed_up = True
         dt = time.time() - t0
@@ -605,6 +691,7 @@ class Engine:
         chunk_sizes=(8, 16),
         max_prefill: Optional[int] = None,
         max_tth: Optional[int] = None,
+        vocoder=None,
     ) -> float:
         """Compile EVERY (prefill bucket, tth bucket × chunk size) executable
         so no later request hits a mid-serving compile stall (the reference's
@@ -636,6 +723,13 @@ class Engine:
                 state, _, _, _, _ = self.decode_chunk(
                     state, tth, 0, tpe, policy, pred_policy, cs, knobs=knobs
                 )
+                if vocoder is not None and B == 1:
+                    ctx = jnp.zeros((vocoder.context_frames,
+                                     vocoder.cfg.num_quantizers), jnp.int32)
+                    out = self.chunk_vocode(vocoder, state, tth, 0, tpe,
+                                            policy, pred_policy, cs, ctx, 0,
+                                            knobs=knobs)
+                    state = out[0]
         jax.block_until_ready(state["token"])
         self.release(state)
         self._warmed_up = True

@@ -182,6 +182,97 @@ def fast_generate_streaming(
         chunk_start = time.time()
 
 
+def fast_generate_streaming_audio(
+    engine: Engine,
+    vocoder,
+    talker_input_embeds: jnp.ndarray,
+    trailing_text_hiddens: jnp.ndarray,
+    tts_pad_embed: jnp.ndarray,
+    *,
+    key: jax.Array,
+    max_new_tokens: int = 2048,
+    policy: GenerationPolicy = GenerationPolicy(),
+    pred_policy: SamplingPolicy = SamplingPolicy(),
+    chunk_size: int = 8,
+    bucketed: bool = True,
+    first_chunks: Tuple[int, ...] = (),
+    ref_codes: Optional[np.ndarray] = None,
+) -> Generator[Tuple[Frames, np.ndarray, Dict], None, None]:
+    """Streaming generation with the FUSED decode+vocode device program:
+    yields (codec_chunk [n,16], audio [n*spf] f32, timing) per chunk.
+
+    One dispatch + one fused device_get per chunk (Engine.chunk_vocode)
+    instead of the 3-4 round trips of the split path — on a tunneled runtime
+    those round trips rival the chunk's device time.  ``ref_codes`` primes
+    the vocoder's sliding context (ICL voice clone) exactly like
+    StreamDecoder.feed on the reference path."""
+    t0 = time.time()
+    tth, tth_len = _pad_tth(trailing_text_hiddens, tts_pad_embed, bucketed)
+    state = engine.prefill(talker_input_embeds, key, policy, bucketed=bucketed)
+    jax.block_until_ready(state["token"])
+    t_prefill = time.time() - t0
+
+    CTX = vocoder.context_frames
+    NQ = vocoder.cfg.num_quantizers
+    spf = vocoder.spf
+    ctx_np = np.zeros((CTX, NQ), np.int32)
+    ctx_len = 0
+    if ref_codes is not None and len(ref_codes):
+        tail = np.asarray(ref_codes, np.int32)[-CTX:]
+        ctx_np[: len(tail)] = tail
+        ctx_len = len(tail)
+    ctx_buf = jnp.asarray(ctx_np)
+    ctx_len = jnp.int32(ctx_len)
+
+    sizes = list(first_chunks) + [chunk_size]
+
+    def size_at(i):
+        return sizes[min(i, len(sizes) - 1)]
+
+    tth_len_dev = jnp.asarray(tth_len, jnp.int32)
+    knobs = make_knobs(policy, pred_policy)
+    emitted = 0
+    i = 0
+    chunk_count = 0
+    chunk_start = time.time()
+    pending = engine.chunk_vocode(vocoder, state, tth, tth_len_dev, tpe_ := tts_pad_embed,
+                                  policy=policy, pred_policy=pred_policy,
+                                  chunk_size=size_at(0), ctx_buf=ctx_buf,
+                                  ctx_len=ctx_len, knobs=knobs)
+    while True:
+        state, frames, n, lens, done, audio, ctx_buf, ctx_len = pending
+        may_continue = emitted + size_at(i) < max_new_tokens
+        if may_continue:
+            pending = engine.chunk_vocode(
+                vocoder, state, tth, tth_len_dev, tpe_,
+                policy=policy, pred_policy=pred_policy,
+                chunk_size=size_at(i + 1), ctx_buf=ctx_buf, ctx_len=ctx_len,
+                knobs=knobs)
+        frames_np, n_val, done_val, audio_np = jax.device_get(
+            (frames, n, done, audio))  # ONE sync per chunk
+        n_val = min(int(n_val), max_new_tokens - emitted)
+        emitted += n_val
+        done_val = bool(done_val) or emitted >= max_new_tokens
+        finished = done_val or not may_continue or n_val == 0
+        if finished:
+            engine.release(pending[0] if may_continue else state)
+        if n_val:
+            chunk_decode = time.time() - chunk_start
+            yield frames_np[0, :n_val], audio_np[: n_val * spf], {
+                "chunk_index": chunk_count,
+                "chunk_steps": n_val,
+                "prefill_ms": t_prefill * 1000 if chunk_count == 0 else 0,
+                "decode_ms": chunk_decode * 1000,
+                "total_steps_so_far": emitted,
+                "is_final": done_val,
+            }
+            chunk_count += 1
+            chunk_start = time.time()
+        if finished:
+            return
+        i += 1
+
+
 def fast_generate_batch(
     engine: Engine,
     talker_input_embeds: jnp.ndarray,  # [B, T, H] left-padded per row
