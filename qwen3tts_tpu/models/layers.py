@@ -146,11 +146,13 @@ def block_forward(
     eps = spec.rms_norm_eps
 
     # Fused weight-streaming path: decode-shaped activations (few rows) with
-    # plain (unquantized) weights.  The small ops are recomputed inline while
-    # the weight tiles stream — see ops/fused_block.py for the measurements.
-    from ..ops.quant import is_quantized
+    # plain or weight-only-int8 weights ({"q","scale"} — the kernels DMA the
+    # int8 tiles, half the bytes, and dequantize on the VPU inside the
+    # pipeline).  w8a8 ({"q8"}) keeps the XLA native-int8-dot formulation.
+    def _fusable(w):
+        return not isinstance(w, dict) or "q" in w
 
-    fused = fused and B * Tq <= 32 and not is_quantized(p["qkv_proj"])
+    fused = fused and B * Tq <= 32 and _fusable(p["qkv_proj"])
 
     if fused:
         from ..ops.fused_block import fused_norm_matmul

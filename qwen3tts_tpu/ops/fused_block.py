@@ -23,7 +23,13 @@ capture (talker_graph.py:109-147) removes launch overhead but cannot change
 cuBLAS's per-matmul memory behavior; this kernel level is where the TPU build
 goes past graph capture.
 
-Unquantized path only: quantized decode (ops/quant.py) keeps the XLA path.
+Int8 weight-only mode: when a weight arrives as ``{"q": int8, "scale": f32}``
+(ops/quant.py layout) the kernels DMA the int8 tiles — HALF the bytes — and
+dequantize each tile on the VPU while the next tile's DMA is in flight.  The
+XLA weight-only path instead materializes the convert as part of the fused
+dot read, which caps its effective bandwidth near the bf16 rate; tile-level
+dequant inside the Pallas pipeline is the way int8 actually buys 2x on a
+bandwidth-bound decode step.
 """
 from __future__ import annotations
 
@@ -50,22 +56,46 @@ def _use_interpret(interpret: bool) -> bool:
 # ---------------------------------------------------------------------------
 
 
-def _norm_mm_kernel(x_ref, nw_ref, w_ref, o_ref, *, eps: float):
+def _tile(w_ref, s_ref, dtype):
+    """Materialize a weight tile in compute dtype: plain read, or int8 tile ×
+    per-out-channel scale (the convert runs on the VPU inside the pipeline,
+    overlapped with the next tile's DMA)."""
+    w = w_ref[...]
+    if s_ref is None:
+        return w
+    return (w.astype(jnp.float32) * s_ref[...]).astype(dtype)
+
+
+def _norm_mm_kernel(x_ref, nw_ref, w_ref, *rest, eps: float, quant: bool):
+    if quant:
+        s_ref, o_ref = rest
+    else:
+        (o_ref,) = rest
+        s_ref = None
     # The norm is a [B, H] VPU op — recomputing it per grid step is ~free
     # compared to the 1-2 MB weight-tile DMA it overlaps with.
     h = _rms_norm_f32(x_ref[...].astype(jnp.float32), nw_ref[0], eps)
+    w = _tile(w_ref, s_ref, x_ref.dtype)
     o_ref[...] = jax.lax.dot_general(
-        h.astype(x_ref.dtype), w_ref[...],
+        h.astype(x_ref.dtype), w,
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(o_ref.dtype)
+
+
+def _split_quant(w):
+    """(payload, scale_2d_or_None) for a plain array or int8 quant dict."""
+    if isinstance(w, dict):
+        q = w["q"]
+        return q, w["scale"].reshape(1, q.shape[-1]).astype(jnp.float32)
+    return w, None
 
 
 @functools.partial(jax.jit, static_argnames=("eps", "tile", "interpret"))
 def fused_norm_matmul(
     x: jnp.ndarray,  # [B, H]
     norm_w: jnp.ndarray,  # [H]
-    w: jnp.ndarray,  # [H, N]
+    w,  # [H, N] array, or {"q": int8 [H, N], "scale": f32 [1, N]}
     *,
     eps: float = 1e-6,
     tile: int = 512,
@@ -74,21 +104,28 @@ def fused_norm_matmul(
     """rms_norm(x, norm_w) @ w with w streamed through the Pallas pipeline.
     Returns [B, N] in x.dtype."""
     B, H = x.shape
-    N = w.shape[1]
+    wq, ws = _split_quant(w)
+    N = wq.shape[1]
     tile = min(tile, N)
     assert N % tile == 0, (N, tile)
+    quant = ws is not None
+    in_specs = [
+        pl.BlockSpec((B, H), lambda i: (0, 0)),
+        pl.BlockSpec((1, H), lambda i: (0, 0)),
+        pl.BlockSpec((H, tile), lambda i: (0, i)),
+    ]
+    args = [x, norm_w.reshape(1, H), wq]
+    if quant:
+        in_specs.append(pl.BlockSpec((1, tile), lambda i: (0, i)))
+        args.append(ws)
     return pl.pallas_call(
-        functools.partial(_norm_mm_kernel, eps=eps),
+        functools.partial(_norm_mm_kernel, eps=eps, quant=quant),
         grid=(N // tile,),
-        in_specs=[
-            pl.BlockSpec((B, H), lambda i: (0, 0)),
-            pl.BlockSpec((1, H), lambda i: (0, 0)),
-            pl.BlockSpec((H, tile), lambda i: (0, i)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((B, tile), lambda i: (0, i)),
         out_shape=jax.ShapeDtypeStruct((B, N), x.dtype),
         interpret=_use_interpret(interpret),
-    )(x, norm_w.reshape(1, H), w)
+    )(*args)
 
 
 # ---------------------------------------------------------------------------
@@ -104,19 +141,23 @@ def _o_mlp_kernel(
     gw_ref,  # VMEM [H, tile] — gate tile i-1 (gateup[:, :I])
     uw_ref,  # VMEM [H, tile] — up tile i-1 (gateup[:, I:])
     dw_ref,  # VMEM [tile, H] — down tile i-1
-    o_ref,  # VMEM [B, H] — constant block: written back once at the end
-    x2_scr,  # VMEM [B, H] f32 — x + attn @ Wo
-    acc_scr,  # VMEM [B, H] f32 — MLP accumulator
-    *,
+    *rest,  # [quant scales: ow_s, gw_s, uw_s, dw_s], o_ref, x2_scr, acc_scr
     eps: float,
     n_tiles: int,
+    quant: bool,
 ):
+    if quant:
+        ow_s, gw_s, uw_s, dw_s, o_ref, x2_scr, acc_scr = rest
+    else:
+        o_ref, x2_scr, acc_scr = rest
+        ow_s = gw_s = uw_s = dw_s = None
     i = pl.program_id(0)
+    dt = x_ref.dtype
 
     @pl.when(i == 0)
     def _():
         x2 = x_ref[...].astype(jnp.float32) + jax.lax.dot_general(
-            attn_ref[...], ow_ref[...],
+            attn_ref[...], _tile(ow_ref, ow_s, dt),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -125,16 +166,16 @@ def _o_mlp_kernel(
 
     @pl.when(i > 0)
     def _():
-        h = _rms_norm_f32(x2_scr[...], nw_ref[0], eps).astype(x_ref.dtype)
+        h = _rms_norm_f32(x2_scr[...], nw_ref[0], eps).astype(dt)
         g = jax.lax.dot_general(
-            h, gw_ref[...], (((1,), (0,)), ((), ())),
+            h, _tile(gw_ref, gw_s, dt), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         u = jax.lax.dot_general(
-            h, uw_ref[...], (((1,), (0,)), ((), ())),
+            h, _tile(uw_ref, uw_s, dt), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        act = (g * jax.nn.sigmoid(g) * u).astype(x_ref.dtype)
+        act = (g * jax.nn.sigmoid(g) * u).astype(dt)
         acc_scr[...] += jax.lax.dot_general(
-            act, dw_ref[...], (((1,), (0,)), ((), ())),
+            act, _tile(dw_ref, dw_s, dt), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     @pl.when(i == n_tiles)  # last step
@@ -146,10 +187,10 @@ def _o_mlp_kernel(
 def fused_o_mlp(
     x: jnp.ndarray,  # [B, H] residual input
     attn: jnp.ndarray,  # [B, Dq] attention output
-    o_w: jnp.ndarray,  # [Dq, H]
+    o_w,  # [Dq, H] array or int8 quant dict
     norm_w: jnp.ndarray,  # [H]
-    gateup_w: jnp.ndarray,  # [H, 2I] fused gate|up layout (models/layers.py:72)
-    down_w: jnp.ndarray,  # [I, H]
+    gateup_w,  # [H, 2I] fused gate|up layout (models/layers.py:72), or quant
+    down_w,  # [I, H] array or quant
     *,
     eps: float = 1e-6,
     tile: int = 512,
@@ -158,7 +199,13 @@ def fused_o_mlp(
     """x + attn@o_w, then + SwiGLU MLP of its post-norm.  Returns [B, H]."""
     B, H = x.shape
     Dq = attn.shape[1]
-    I = down_w.shape[0]
+    ow_q, ow_s = _split_quant(o_w)
+    gu_q, gu_s = _split_quant(gateup_w)
+    dw_q, dw_s = _split_quant(down_w)
+    quant = ow_s is not None
+    assert (gu_s is not None) == quant and (dw_s is not None) == quant, \
+        "o/gateup/down must be uniformly quantized (quantize_block_stack)"
+    I = dw_q.shape[0]
     tile = min(tile, I)
     assert I % tile == 0, (I, tile)
     n_tiles = I // tile
@@ -173,18 +220,29 @@ def fused_o_mlp(
     def down_map(i):
         return (jnp.maximum(i - 1, 0), 0)
 
+    in_specs = [
+        pl.BlockSpec((B, H), lambda i: (0, 0)),
+        pl.BlockSpec((B, Dq), lambda i: (0, 0)),
+        pl.BlockSpec((Dq, H), lambda i: (0, 0)),  # resident
+        pl.BlockSpec((1, H), lambda i: (0, 0)),
+        pl.BlockSpec((H, tile), gate_map),  # gateup[:, :I] tiles
+        pl.BlockSpec((H, tile), up_map),  # gateup[:, I:] tiles
+        pl.BlockSpec((tile, H), down_map),
+    ]
+    args = [x, attn, ow_q, norm_w.reshape(1, H), gu_q, gu_q, dw_q]
+    if quant:
+        in_specs += [
+            pl.BlockSpec((1, H), lambda i: (0, 0)),  # o scale (resident)
+            pl.BlockSpec((1, tile), gate_map),  # gate scales
+            pl.BlockSpec((1, tile), up_map),  # up scales
+            pl.BlockSpec((1, H), lambda i: (0, 0)),  # down scale (resident)
+        ]
+        args += [ow_s, gu_s, gu_s, dw_s]
     return pl.pallas_call(
-        functools.partial(_o_mlp_kernel, eps=eps, n_tiles=n_tiles),
+        functools.partial(_o_mlp_kernel, eps=eps, n_tiles=n_tiles,
+                          quant=quant),
         grid=(n_tiles + 1,),
-        in_specs=[
-            pl.BlockSpec((B, H), lambda i: (0, 0)),
-            pl.BlockSpec((B, Dq), lambda i: (0, 0)),
-            pl.BlockSpec((Dq, H), lambda i: (0, 0)),  # resident
-            pl.BlockSpec((1, H), lambda i: (0, 0)),
-            pl.BlockSpec((H, tile), gate_map),  # gateup[:, :I] tiles
-            pl.BlockSpec((H, tile), up_map),  # gateup[:, I:] tiles
-            pl.BlockSpec((tile, H), down_map),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((B, H), lambda i: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, H), x.dtype),
         scratch_shapes=[
@@ -192,4 +250,4 @@ def fused_o_mlp(
             pltpu.VMEM((B, H), jnp.float32),
         ],
         interpret=_use_interpret(interpret),
-    )(x, attn, o_w, norm_w.reshape(1, H), gateup_w, gateup_w, down_w)
+    )(*args)

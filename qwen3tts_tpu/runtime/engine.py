@@ -140,14 +140,19 @@ class Engine:
             )
         self.use_flash_decode = use_flash_decode
         if use_fused_kernels is None:
-            # Default OFF: with the KV cache riding the scan carry (the real
-            # round-1 bottleneck — see models/layers.py:stack_forward), the
-            # fused weight-streaming kernels (ops/fused_block.py) measured
-            # neutral-to-slightly-negative on v5e (decompose.py: talker 2.72ms
-            # plain vs 4.28ms fused pre-carry-fix; per-pallas_call pipeline
+            # bf16 default OFF: with the KV cache riding the scan carry (the
+            # real round-1 bottleneck — see models/layers.py:stack_forward),
+            # the fused weight-streaming kernels (ops/fused_block.py) measured
+            # neutral-to-slightly-negative on v5e (per-pallas_call pipeline
             # warmup eats the streaming gain at these 4-12 MB matmul sizes).
-            # Kept as an opt-in for tile-size tuning experiments.
-            use_fused_kernels = False
+            # Weight-only int8 default ON: there the kernels DMA HALF the
+            # bytes and dequantize tiles on the VPU inside the pipeline,
+            # which the XLA fused-convert formulation cannot match.
+            qkv = talker_params["blocks"]["qkv_proj"]
+            use_fused_kernels = (
+                jax.default_backend() not in ("cpu",)
+                and isinstance(qkv, dict) and "q" in qkv
+            )
         self.use_fused_kernels = use_fused_kernels
         self.scan_unroll = scan_unroll
         self._suppress = jnp.asarray(
