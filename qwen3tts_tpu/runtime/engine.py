@@ -140,19 +140,16 @@ class Engine:
             )
         self.use_flash_decode = use_flash_decode
         if use_fused_kernels is None:
-            # bf16 default OFF: with the KV cache riding the scan carry (the
-            # real round-1 bottleneck — see models/layers.py:stack_forward),
-            # the fused weight-streaming kernels (ops/fused_block.py) measured
-            # neutral-to-slightly-negative on v5e (per-pallas_call pipeline
-            # warmup eats the streaming gain at these 4-12 MB matmul sizes).
-            # Weight-only int8 default ON: there the kernels DMA HALF the
-            # bytes and dequantize tiles on the VPU inside the pipeline,
-            # which the XLA fused-convert formulation cannot match.
-            qkv = talker_params["blocks"]["qkv_proj"]
-            use_fused_kernels = (
-                jax.default_backend() not in ("cpu",)
-                and isinstance(qkv, dict) and "q" in qkv
-            )
+            # Default OFF in every mode (measured on v5e, decompose.py):
+            # - bf16: neutral-to-slightly-negative once the KV cache rides
+            #   the scan carry (per-pallas_call pipeline warmup eats the
+            #   streaming gain at these 4-12 MB matmul sizes);
+            # - weight-only int8: the in-kernel tile dequant LOSES to XLA's
+            #   fused-convert dot (talker 5.7 ms fused vs 3.1 ms XLA —
+            #   int8 (32,128)→bf16 (16,128) relayout cost swamps the
+            #   halved DMA bytes).
+            # Kept as an opt-in for kernel experiments.
+            use_fused_kernels = False
         self.use_fused_kernels = use_fused_kernels
         self.scan_unroll = scan_unroll
         self._suppress = jnp.asarray(
