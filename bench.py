@@ -30,13 +30,24 @@ def log(*a):
 
 
 def main():
+    import argparse
+
     import jax
 
     from qwen3tts_tpu import FasterQwen3TTS
     from qwen3tts_tpu.audio.wav import write_wav
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quantize", default=None, choices=(None, "int8", "w8a8"),
+                    help="optional quantized-mode run; the headline metric "
+                         "name gains a _<mode> suffix and results go to "
+                         "bench_results_tpu_<mode>.json")
+    args = ap.parse_args()
+
     t0 = time.time()
-    model = FasterQwen3TTS.from_pretrained("random:qwen3-tts-0.6b", dtype="bfloat16")
+    model = FasterQwen3TTS.from_pretrained("random:qwen3-tts-0.6b",
+                                           dtype="bfloat16",
+                                           quantize=args.quantize)
     log(f"load: {time.time()-t0:.1f}s on {jax.devices()}")
 
     sr = 24_000
@@ -122,11 +133,14 @@ def main():
                      "ttfa_ms_h100": 228, "rtf_target_v5e": 4.0},
     }
     log(json.dumps(details, indent=2))
-    with open("bench_results_tpu.json", "w") as f:
+    suffix = f"_{args.quantize}" if args.quantize else ""
+    if args.quantize:
+        details["quantize"] = args.quantize
+    with open(f"bench_results_tpu{suffix}.json", "w") as f:
         json.dump(details, f, indent=2)
 
     print(json.dumps({
-        "metric": "rtf_0.6b_voice_clone",
+        "metric": f"rtf_0.6b_voice_clone{suffix}",
         "value": round(headline, 3),
         "unit": "x_realtime",
         "vs_baseline": round(headline / BASELINE_RTF_H100, 3),

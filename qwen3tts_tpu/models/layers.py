@@ -190,6 +190,13 @@ def block_forward(
             flash_ctx["pos"], flash_ctx["pad"],
             sliding_window=flash_ctx.get("window"),
         )[:, None]
+    elif Tq > 1 and mask.shape[-1] == Tq:
+        # Prefill with a LOCAL [B, T, T] mask: attend over the just-computed
+        # prompt K/V instead of reading the padded S-slot cache back — the
+        # [B, T, S] score tensor is up to S/T times larger for nothing
+        # (bucket-1024 prefill on a 2048-slot cache: 28 → ~14 ms measured).
+        attn = _attn_core(q, k, v, mask,
+                          spec.num_heads // spec.num_kv_heads)
     else:
         k_l = jax.lax.dynamic_index_in_dim(k_stack, layer_idx, 0, keepdims=False)
         v_l = jax.lax.dynamic_index_in_dim(v_stack, layer_idx, 0, keepdims=False)

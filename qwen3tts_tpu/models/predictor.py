@@ -154,7 +154,7 @@ def predict_frame(
     # --- prefill: 2 tokens ---
     h = _proj(params, pred_input)  # [B, 2, Hp]
     cos, sin = _rope(cfg, jnp.broadcast_to(jnp.arange(2, dtype=jnp.int32)[None], (B, 2)))
-    m = prefill_mask(2, S, zero_pad, cfg.sliding_window)
+    m = prefill_mask(2, 2, zero_pad, cfg.sliding_window)  # local [B,2,2]
     h, kv = stack_forward(params["blocks"], h, cos, sin, kv, jnp.int32(0), m, spec)
     h = rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
 

@@ -144,9 +144,11 @@ def prefill(
     eff = jnp.maximum(eff, 0)
     cos, sin = _positions(cfg, eff)
 
-    m_full = prefill_mask(T, S, pad_count)
+    # LOCAL [B, T, T] masks: prefill attends over the prompt K/V directly
+    # (models/layers.py:block_forward), not the padded S-slot cache
+    m_full = prefill_mask(T, T, pad_count)
     m_slide = (
-        prefill_mask(T, S, pad_count, cfg.sliding_window)
+        prefill_mask(T, T, pad_count, cfg.sliding_window)
         if cfg.sliding_window is not None
         else None
     )

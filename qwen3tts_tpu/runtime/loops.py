@@ -205,11 +205,17 @@ def fast_generate_streaming_audio(
     instead of the 3-4 round trips of the split path — on a tunneled runtime
     those round trips rival the chunk's device time.  ``ref_codes`` primes
     the vocoder's sliding context (ICL voice clone) exactly like
-    StreamDecoder.feed on the reference path."""
+    StreamDecoder.feed on the reference path.
+
+    The prefill is NOT host-synced: its result flows straight into the first
+    chunk's dispatch, so device prefill overlaps the host's chunk dispatch
+    instead of costing a round trip.  The first chunk's ``prefill_ms``
+    therefore reports host-side prompt dispatch time only; the device
+    prefill cost lands in that chunk's ``decode_ms`` (and in TTFA, which is
+    what streaming callers actually experience)."""
     t0 = time.time()
     tth, tth_len = _pad_tth(trailing_text_hiddens, tts_pad_embed, bucketed)
     state = engine.prefill(talker_input_embeds, key, policy, bucketed=bucketed)
-    jax.block_until_ready(state["token"])
     t_prefill = time.time() - t0
 
     CTX = vocoder.context_frames
