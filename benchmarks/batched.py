@@ -33,6 +33,8 @@ def main():
     p.add_argument("--steps", type=int, default=120)
     p.add_argument("--batches", default="1,2,4,8")
     p.add_argument("--quantize", default=None)
+    p.add_argument("--kv-quant", action="store_true",
+                   help="int8 KV cache (per-row caches dominate at B>1)")
     args = p.parse_args()
 
     from qwen3tts_tpu.core.loader import load_pretrained
@@ -52,7 +54,8 @@ def main():
     results = {}
 
     for B in [int(x) for x in args.batches.split(",")]:
-        eng = Engine(params["talker"], params["predictor"], cfg, batch=B)
+        eng = Engine(params["talker"], params["predictor"], cfg, batch=B,
+                     kv_quant=args.kv_quant)
         embeds = jnp.asarray(
             np.random.RandomState(0).randn(B, 24, H), dt) * 0.02
         tth = jnp.asarray(np.random.RandomState(1).randn(B, 16, H), dt) * 0.02
@@ -79,7 +82,8 @@ def main():
         log(f"B={B}: {results[B]}")
 
     out = {"device": str(jax.devices()[0]), "preset": args.preset,
-           "quantize": args.quantize, "steps": args.steps, "sweep": results}
+           "quantize": args.quantize, "kv_quant": args.kv_quant,
+           "steps": args.steps, "sweep": results}
     log(json.dumps(out, indent=2))
     print(json.dumps(out))
 

@@ -149,17 +149,17 @@ def main():
                         if m == "flash" else None)
 
                 def body(c, inp):
-                    xb, kk, vv = c
+                    xb, kvb = c
                     lp, l = inp
-                    xb, kk, vv = block_forward(
-                        lp, xb, cos, sin, kk, vv, l, pos_i, mask, spec,
+                    xb, kvb = block_forward(
+                        lp, xb, cos, sin, kvb, l, pos_i, mask, spec,
                         flash_ctx=fctx)
-                    return (xb, kk, vv), None
+                    return (xb, kvb), None
 
-                (xc, knew, vnew), _ = jax.lax.scan(
-                    body, (xc, kvc["k"], kvc["v"]),
+                (xc, kvc), _ = jax.lax.scan(
+                    body, (xc, kvc),
                     (bl, jnp.arange(spec.num_layers, dtype=jnp.int32)))
-                return xc * 1e-3, {"k": knew, "v": vnew}
+                return xc * 1e-3, kvc
             return jax.lax.fori_loop(0, T, outer, (x, kv))
         return run
 

@@ -64,13 +64,16 @@ class FasterQwen3TTS:
         seed: int = 0,
         tokenizer_json: Optional[str] = None,
         vocoder_compute_dtype=jnp.bfloat16,
+        kv_quant: bool = False,
     ):
         self.cfg = cfg
         self.params = params
         self.max_seq_len = max_seq_len
         self.dtype = cfg.jnp_dtype
+        self.kv_quant = kv_quant
         self.engine = Engine(
-            params["talker"], params["predictor"], cfg, max_seq_len=max_seq_len
+            params["talker"], params["predictor"], cfg, max_seq_len=max_seq_len,
+            kv_quant=kv_quant,
         )
         self.vocoder = Vocoder(params["codec"], cfg.codec,
                                compute_dtype=vocoder_compute_dtype)
@@ -97,13 +100,16 @@ class FasterQwen3TTS:
         max_seq_len: int = 2048,
         seed: int = 0,
         quantize: Optional[str] = None,
+        kv_quant: bool = False,
     ) -> "FasterQwen3TTS":
         """Load weights ('random:<preset>' or checkpoint dir) and build the
         runtime.  Compilation is deferred to the first generation (reference
         defers CUDA-graph capture the same way, model.py:143,280-281).
 
         quantize="int8": store the talker/predictor projection matrices as
-        int8 with per-channel scales — halves decode weight bandwidth."""
+        int8 with per-channel scales — halves decode weight bandwidth.
+        kv_quant=True: int8 KV cache (per-position/head scales) — halves
+        attention-read bytes; matters at batch>1 and long positions."""
         if isinstance(dtype, str):
             dtype = {"bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
                      "float32": jnp.float32, "fp32": jnp.float32,
@@ -134,7 +140,7 @@ class FasterQwen3TTS:
         logger.info("Loaded %s (%s, %s%s)", model_name, cfg.model_type, cfg.dtype,
                     f", {quantize}" if quantize else "")
         return cls(cfg, params, max_seq_len=max_seq_len, seed=seed,
-                   tokenizer_json=tokenizer_json)
+                   tokenizer_json=tokenizer_json, kv_quant=kv_quant)
 
     # ------------------------------------------------------------------
     def _next_key(self) -> jax.Array:
@@ -389,7 +395,8 @@ class FasterQwen3TTS:
         if batch not in self._batch_engines:
             self._batch_engines[batch] = Engine(
                 self.params["talker"], self.params["predictor"], self.cfg,
-                max_seq_len=self.max_seq_len, batch=batch)
+                max_seq_len=self.max_seq_len, batch=batch,
+                kv_quant=self.kv_quant)
         return self._batch_engines[batch]
 
     def generate_voice_clone_batch(

@@ -75,12 +75,35 @@ def init_block_stack(key: jax.Array, spec: BlockSpec, dtype) -> Dict[str, jnp.nd
 
 
 def init_kv_cache(
-    spec: BlockSpec, batch: int, max_len: int, dtype
+    spec: BlockSpec, batch: int, max_len: int, dtype, kv_quant: bool = False
 ) -> Dict[str, jnp.ndarray]:
     """Static KV cache pytree: the TPU analog of transformers StaticCache
-    (talker_graph.py:43).  Donated across jitted steps so updates are in-place."""
+    (talker_graph.py:43).  Donated across jitted steps so updates are in-place.
+
+    ``kv_quant``: store K/V rows as int8 with per-(position, head) f32
+    scales ("ks"/"vs") — halves the attention-read bytes at long positions
+    and at batch > 1, where the per-row cache is not amortized like the
+    shared weights are.  The quantization happens at write time in
+    block_forward; presence of the "ks" key is what switches the read path.
+    """
     shape = (spec.num_layers, batch, max_len, spec.num_kv_heads, spec.head_dim)
-    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+    if not kv_quant:
+        return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+    sshape = shape[:-1]
+    return {
+        "k": jnp.zeros(shape, jnp.int8),
+        "v": jnp.zeros(shape, jnp.int8),
+        "ks": jnp.zeros(sshape, jnp.float32),
+        "vs": jnp.zeros(sshape, jnp.float32),
+    }
+
+
+def _quantize_rows(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """[B, T, KVH, D] float → (int8 rows, f32 per-(b,t,head) scales)."""
+    xf = x.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), 1e-8) / 127.0
+    q = jnp.clip(jnp.round(xf / s[..., None]), -127, 127).astype(jnp.int8)
+    return q, s
 
 
 # ---------------------------------------------------------------------------
@@ -122,17 +145,16 @@ def block_forward(
     x: jnp.ndarray,  # [B, Tq, H]
     cos: jnp.ndarray,  # [B, Tq, D]
     sin: jnp.ndarray,
-    k_stack: jnp.ndarray,  # [L, B, S, KVH, D] — FULL stacked cache
-    v_stack: jnp.ndarray,
+    kv: Dict[str, jnp.ndarray],  # FULL stacked cache {"k","v"[,"ks","vs"]}
     layer_idx: jnp.ndarray,  # scalar int32 — this block's slot in the stack
     write_pos: jnp.ndarray,  # scalar int32 — where new K/V rows go
     mask: jnp.ndarray,  # [B, Tq, S] bool
     spec: BlockSpec,
     flash_ctx: Optional[Dict] = None,  # {"pos","pad","window"} → Pallas decode
     fused: bool = False,  # Pallas weight-streaming kernels (ops/fused_block.py)
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """One decoder block over an S-slot static KV cache.  Returns
-    (x_out, k_stack', v_stack').
+    (x_out, kv').
 
     The cache is passed STACKED with a (traced) layer index, written with one
     in-place ``dynamic_update_slice`` and — on the flash path — read by the
@@ -140,8 +162,13 @@ def block_forward(
     instead (the round-1 layout) made XLA materialize/re-stack each layer's
     ~8 MB slice every decode step: ~1 ms/step of pure copy traffic on the
     0.6B talker at S=2048 (measured, benchmarks/decompose.py --max-seq-len).
+
+    With an int8 cache (init_kv_cache kv_quant=True) the freshly computed
+    K/V rows are quantized per (position, head) before the write; the local
+    prefill-attention path still uses the exact bf16 K/V.
     """
     B, Tq, H = x.shape
+    kv_quant = "ks" in kv
     p = layer_params
     eps = spec.rms_norm_eps
 
@@ -174,10 +201,21 @@ def block_forward(
     q = q.astype(x.dtype)
     k = k.astype(x.dtype)  # ...but K/V are cached in the model dtype
 
-    k_stack = jax.lax.dynamic_update_slice(
-        k_stack, k[None], (layer_idx, 0, write_pos, 0, 0))
-    v_stack = jax.lax.dynamic_update_slice(
-        v_stack, v[None], (layer_idx, 0, write_pos, 0, 0))
+    kv = dict(kv)
+    if kv_quant:
+        kq, ks = _quantize_rows(k)
+        vq, vs = _quantize_rows(v)
+        kv["ks"] = jax.lax.dynamic_update_slice(
+            kv["ks"], ks[None], (layer_idx, 0, write_pos, 0))
+        kv["vs"] = jax.lax.dynamic_update_slice(
+            kv["vs"], vs[None], (layer_idx, 0, write_pos, 0))
+        k_row, v_row = kq, vq
+    else:
+        k_row, v_row = k, v
+    kv["k"] = jax.lax.dynamic_update_slice(
+        kv["k"], k_row[None], (layer_idx, 0, write_pos, 0, 0))
+    kv["v"] = jax.lax.dynamic_update_slice(
+        kv["v"], v_row[None], (layer_idx, 0, write_pos, 0, 0))
 
     if flash_ctx is not None and Tq == 1:
         # Pallas flash-decode: each row streams only ITS live KV prefix from
@@ -186,20 +224,29 @@ def block_forward(
         from ..ops.flash_decode import flash_decode_stacked
 
         attn = flash_decode_stacked(
-            q[:, 0], k_stack, v_stack, layer_idx,
+            q[:, 0], kv["k"], kv["v"], layer_idx,
             flash_ctx["pos"], flash_ctx["pad"],
             sliding_window=flash_ctx.get("window"),
+            k_scale=kv.get("ks"), v_scale=kv.get("vs"),
         )[:, None]
     elif Tq > 1 and mask.shape[-1] == Tq:
         # Prefill with a LOCAL [B, T, T] mask: attend over the just-computed
         # prompt K/V instead of reading the padded S-slot cache back — the
         # [B, T, S] score tensor is up to S/T times larger for nothing
         # (bucket-1024 prefill on a 2048-slot cache: 28 → ~14 ms measured).
+        # (Exact bf16 K/V even with an int8 cache.)
         attn = _attn_core(q, k, v, mask,
                           spec.num_heads // spec.num_kv_heads)
     else:
-        k_l = jax.lax.dynamic_index_in_dim(k_stack, layer_idx, 0, keepdims=False)
-        v_l = jax.lax.dynamic_index_in_dim(v_stack, layer_idx, 0, keepdims=False)
+        k_l = jax.lax.dynamic_index_in_dim(kv["k"], layer_idx, 0, keepdims=False)
+        v_l = jax.lax.dynamic_index_in_dim(kv["v"], layer_idx, 0, keepdims=False)
+        if kv_quant:
+            ks_l = jax.lax.dynamic_index_in_dim(kv["ks"], layer_idx, 0,
+                                                keepdims=False)
+            vs_l = jax.lax.dynamic_index_in_dim(kv["vs"], layer_idx, 0,
+                                                keepdims=False)
+            k_l = (k_l.astype(jnp.float32) * ks_l[..., None]).astype(x.dtype)
+            v_l = (v_l.astype(jnp.float32) * vs_l[..., None]).astype(x.dtype)
         attn = _attn_core(q, k_l, v_l, mask,
                           spec.num_heads // spec.num_kv_heads)
     if fused:
@@ -222,7 +269,7 @@ def block_forward(
         I = spec.intermediate_size
         x = x + maybe_matmul(
             jax.nn.silu(gu[..., :I]) * gu[..., I:], p["down_proj"])
-    return x, k_stack, v_stack
+    return x, kv
 
 
 def stack_forward(
@@ -257,21 +304,21 @@ def stack_forward(
         mask_sliding = mask_full
 
     def body(carry, inp):
-        xc, kk, vv = carry
+        xc, kvc = carry
         lp, sliding, l = inp
         m = jnp.where(sliding, mask_sliding, mask_full)
-        xc, kk, vv = block_forward(lp, xc, cos, sin, kk, vv, l, write_pos, m,
-                                   spec, flash_ctx=flash_ctx, fused=fused)
-        return (xc, kk, vv), None
+        xc, kvc = block_forward(lp, xc, cos, sin, kvc, l, write_pos, m,
+                                spec, flash_ctx=flash_ctx, fused=fused)
+        return (xc, kvc), None
 
-    (x_out, k_new, v_new), _ = jax.lax.scan(
+    (x_out, kv_new), _ = jax.lax.scan(
         body,
-        (x, kv["k"], kv["v"]),
+        (x, kv),
         (stack_params, layer_is_sliding,
          jnp.arange(spec.num_layers, dtype=jnp.int32)),
         unroll=unroll,
     )
-    return x_out, {"k": k_new, "v": v_new}
+    return x_out, kv_new
 
 
 # ---------------------------------------------------------------------------

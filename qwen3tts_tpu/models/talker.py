@@ -83,8 +83,10 @@ def init_params(key: jax.Array, cfg: TalkerConfig, dtype=jnp.bfloat16) -> Params
     }
 
 
-def new_kv_cache(cfg: TalkerConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
-    return init_kv_cache(block_spec(cfg), batch, max_len, dtype)
+def new_kv_cache(cfg: TalkerConfig, batch: int, max_len: int,
+                 dtype=jnp.bfloat16, kv_quant: bool = False):
+    return init_kv_cache(block_spec(cfg), batch, max_len, dtype,
+                         kv_quant=kv_quant)
 
 
 # ---------------------------------------------------------------------------

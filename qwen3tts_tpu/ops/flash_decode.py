@@ -40,18 +40,18 @@ def _kernel(
     q_ref,  # VMEM [1, KVH, G, D] — this grid step's row
     k_hbm,  # ANY [L, B, S, KVH, D] — full stacked cache; only layer l is read
     v_hbm,  # ANY [L, B, S, KVH, D]
-    o_ref,  # VMEM [1, KVH, G, D]
-    kbuf,  # VMEM scratch [2, BS, KVH, D]
-    vbuf,  # VMEM scratch [2, BS, KVH, D]
-    m_scr,  # VMEM scratch [KVH, G, 128] f32 (running max, lane-replicated)
-    l_scr,  # VMEM scratch [KVH, G, 128] f32 (running denom)
-    acc_scr,  # VMEM scratch [KVH, G, D] f32
-    sems,  # DMA semaphores [2, 2]
-    *,
+    *rest,  # [ks_hbm, vs_hbm (ANY [L,B,S,KVH] f32) when quant], o_ref, scratch
     block_size: int,
     sliding_window: Optional[int],
     scale: float,
+    quant: bool,
 ):
+    if quant:
+        (ks_hbm, vs_hbm, o_ref, kbuf, vbuf, ksbuf, vsbuf,
+         m_scr, l_scr, acc_scr, sems) = rest
+    else:
+        o_ref, kbuf, vbuf, m_scr, l_scr, acc_scr, sems = rest
+        ks_hbm = vs_hbm = ksbuf = vsbuf = None
     b = pl.program_id(0)
     lay = lay_ref[0]
     pos = pos_ref[0]
@@ -73,9 +73,32 @@ def _kernel(
             v_hbm.at[lay, b, pl.ds(i * BS, BS)], vbuf.at[slot], sems.at[slot, 1]
         )
 
+    def s_dmas(i, slot):
+        return (
+            pltpu.make_async_copy(
+                ks_hbm.at[lay, b, pl.ds(i * BS, BS)], ksbuf.at[slot],
+                sems.at[slot, 2]),
+            pltpu.make_async_copy(
+                vs_hbm.at[lay, b, pl.ds(i * BS, BS)], vsbuf.at[slot],
+                sems.at[slot, 3]),
+        )
+
+    def start_all(i, slot):
+        k_dma(i, slot).start()
+        v_dma(i, slot).start()
+        if quant:
+            for c in s_dmas(i, slot):
+                c.start()
+
+    def wait_all(i, slot):
+        k_dma(i, slot).wait()
+        v_dma(i, slot).wait()
+        if quant:
+            for c in s_dmas(i, slot):
+                c.wait()
+
     # warm up the pipeline
-    k_dma(i0, jax.lax.rem(i0, 2)).start()
-    v_dma(i0, jax.lax.rem(i0, 2)).start()
+    start_all(i0, jax.lax.rem(i0, 2))
 
     m_scr[...] = jnp.full_like(m_scr, NEG_INF)
     l_scr[...] = jnp.zeros_like(l_scr)
@@ -83,19 +106,24 @@ def _kernel(
 
     q = q_ref[0].astype(jnp.float32)  # [KVH, G, D]
 
+    def load_kv(buf, sbuf, slot):
+        """[BS, KVH, D] tile → [KVH, BS, D] f32, dequantized when int8."""
+        t = jnp.swapaxes(buf[slot], 0, 1).astype(jnp.float32)
+        if quant:
+            t = t * jnp.swapaxes(sbuf[slot], 0, 1)[..., None]
+        return t
+
     def body(i, _):
         slot = jax.lax.rem(i, 2)
         nslot = jax.lax.rem(i + 1, 2)
 
         @pl.when(i + 1 < nb)
         def _():
-            k_dma(i + 1, nslot).start()
-            v_dma(i + 1, nslot).start()
+            start_all(i + 1, nslot)
 
-        k_dma(i, slot).wait()
-        v_dma(i, slot).wait()
+        wait_all(i, slot)
 
-        k = jnp.swapaxes(kbuf[slot], 0, 1).astype(jnp.float32)  # [KVH, BS, D]
+        k = load_kv(kbuf, ksbuf, slot)  # [KVH, BS, D]
         scores = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -117,7 +145,7 @@ def _kernel(
                                       l_scr.shape)
         m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
 
-        v = jnp.swapaxes(vbuf[slot], 0, 1).astype(jnp.float32)  # [KVH, BS, D]
+        v = load_kv(vbuf, vsbuf, slot)  # [KVH, BS, D]
         pv = jax.lax.dot_general(
             p, v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -146,6 +174,8 @@ def flash_decode_stacked(
     block_size: int = 256,
     sliding_window: Optional[int] = None,
     interpret: bool = False,
+    k_scale: Optional[jnp.ndarray] = None,  # [L, B, S, KVH] f32 (int8 cache)
+    v_scale: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Returns attention output [B, NH, D] (same dtype as q); one grid step
     per row, each reading only its own live KV prefix from HBM.
@@ -154,10 +184,15 @@ def flash_decode_stacked(
     decode scan never materializes a per-layer cache slice — the kernel DMAs
     straight out of ``k_stack[layer]`` in HBM.  (Slicing the stack in XLA
     first would copy ~8 MB per layer per step, which measurably dominates the
-    talker decode step — see benchmarks/decompose.py --max-seq-len.)"""
+    talker decode step — see benchmarks/decompose.py --max-seq-len.)
+
+    With ``k_scale``/``v_scale`` the cache is int8 (init_kv_cache
+    kv_quant=True): the kernel moves HALF the KV bytes and dequantizes each
+    tile in VMEM after its DMA lands."""
     L, B, S, KVH, D = k_stack.shape
     NH = q.shape[1]
     G = NH // KVH
+    quant = k_scale is not None
     block_size = min(block_size, S)
     assert S % block_size == 0, (S, block_size)
     if not interpret and jax.default_backend() == "cpu":
@@ -168,40 +203,50 @@ def flash_decode_stacked(
             "use the XLA attention path for this config")
     qg = q.reshape(B, KVH, G, D)
 
+    in_specs = [
+        pl.BlockSpec((1, KVH, G, D), lambda b, *_: (b, 0, 0, 0)),  # q row
+        pl.BlockSpec(memory_space=pl.ANY),  # k (HBM)
+        pl.BlockSpec(memory_space=pl.ANY),  # v (HBM)
+    ]
+    scratch = [
+        pltpu.VMEM((2, block_size, KVH, D), k_stack.dtype),
+        pltpu.VMEM((2, block_size, KVH, D), v_stack.dtype),
+    ]
+    if quant:
+        in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * 2  # ks, vs (HBM)
+        scratch += [pltpu.VMEM((2, block_size, KVH), jnp.float32)] * 2
+    scratch += [
+        pltpu.VMEM((KVH, G, 128), jnp.float32),
+        pltpu.VMEM((KVH, G, 128), jnp.float32),
+        pltpu.VMEM((KVH, G, D), jnp.float32),
+        pltpu.SemaphoreType.DMA((2, 4 if quant else 2)),
+    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, KVH, G, D), lambda b, *_: (b, 0, 0, 0)),  # q row
-            pl.BlockSpec(memory_space=pl.ANY),  # k (HBM)
-            pl.BlockSpec(memory_space=pl.ANY),  # v (HBM)
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, KVH, G, D), lambda b, *_: (b, 0, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((2, block_size, KVH, D), k_stack.dtype),
-            pltpu.VMEM((2, block_size, KVH, D), v_stack.dtype),
-            pltpu.VMEM((KVH, G, 128), jnp.float32),
-            pltpu.VMEM((KVH, G, 128), jnp.float32),
-            pltpu.VMEM((KVH, G, D), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
-        ],
+        scratch_shapes=scratch,
     )
-    out = pl.pallas_call(
-        functools.partial(
-            _kernel, block_size=block_size, sliding_window=sliding_window,
-            scale=D**-0.5,
-        ),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, KVH, G, D), q.dtype),
-        interpret=interpret,
-    )(
+    args = [
         jnp.reshape(layer.astype(jnp.int32), (1,)),
         jnp.reshape(pos.astype(jnp.int32), (1,)),
         jnp.broadcast_to(jnp.asarray(pad_count, jnp.int32).reshape(-1), (B,)),
         qg,
         k_stack,
         v_stack,
-    )
+    ]
+    if quant:
+        args += [k_scale, v_scale]
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, block_size=block_size, sliding_window=sliding_window,
+            scale=D**-0.5, quant=quant,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, KVH, G, D), q.dtype),
+        interpret=interpret,
+    )(*args)
     return out.reshape(B, NH, D)
 
 

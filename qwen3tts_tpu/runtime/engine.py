@@ -119,6 +119,7 @@ class Engine:
         use_flash_decode: Optional[bool] = None,
         use_fused_kernels: Optional[bool] = None,
         scan_unroll: int = 1,
+        kv_quant: bool = False,
     ):
         self.cfg = cfg
         self.talker_cfg = cfg.talker
@@ -152,6 +153,9 @@ class Engine:
             use_fused_kernels = False
         self.use_fused_kernels = use_fused_kernels
         self.scan_unroll = scan_unroll
+        # int8 KV cache (opt-in): halves attention-read bytes — matters at
+        # B>1 (per-row caches are not weight-amortized) and long positions.
+        self.kv_quant = kv_quant
         self._suppress = jnp.asarray(
             build_suppress_mask(cfg.talker.vocab_size, self.eos_id)
         )
@@ -183,7 +187,8 @@ class Engine:
         if self._kv_pool:
             return self._kv_pool.pop()
         return talker_lib.new_kv_cache(
-            self.talker_cfg, self.batch, self.max_seq_len, self.dtype
+            self.talker_cfg, self.batch, self.max_seq_len, self.dtype,
+            kv_quant=self.kv_quant,
         )
 
     def release(self, state: Dict) -> None:
@@ -218,10 +223,7 @@ class Engine:
         # batch (the cache position axis is shared across rows); for B==1
         # this is full compaction.
         roll = jnp.min(pad_count)
-        kv = {
-            "k": jnp.roll(kv["k"], -roll, axis=2),
-            "v": jnp.roll(kv["v"], -roll, axis=2),
-        }
+        kv = {key_: jnp.roll(val, -roll, axis=2) for key_, val in kv.items()}
         key, ks = jax.random.split(key)
         token = sample_logits(
             ks,
@@ -559,19 +561,17 @@ class Engine:
         reference (strictly batch-1, SURVEY §2.4) cannot express.
         """
         Tb = embeds.shape[1]
-        tiny_kv = talker_lib.new_kv_cache(self.talker_cfg, 1, Tb, self.dtype)
+        tiny_kv = talker_lib.new_kv_cache(self.talker_cfg, 1, Tb, self.dtype,
+                                          kv_quant=self.kv_quant)
         last, logits, tiny_kv = talker_lib.prefill(
             talker_params, self.talker_cfg, embeds, pad_inner, tiny_kv
         )
         pos = state["pos"]
         start = pos - Tb
-        kv = state["kv"]
-        kv = {
-            "k": jax.lax.dynamic_update_slice(
-                kv["k"], tiny_kv["k"], (0, row, start, 0, 0)),
-            "v": jax.lax.dynamic_update_slice(
-                kv["v"], tiny_kv["v"], (0, row, start, 0, 0)),
-        }
+        kv = dict(state["kv"])
+        for key_ in tiny_kv:  # k/v (+ks/vs when the cache is int8)
+            idx = (0, row, start) + (0,) * (kv[key_].ndim - 3)
+            kv[key_] = jax.lax.dynamic_update_slice(kv[key_], tiny_kv[key_], idx)
         key, ks = jax.random.split(state["key"])
         token = sample_logits(
             ks, logits,

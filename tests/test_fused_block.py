@@ -133,11 +133,12 @@ def test_block_forward_fused_matches_plain(quantized):
         spec.head_dim, 1e6, None, dtype=jnp.float32)
     mask = decode_mask(S, pos, pad)
 
-    out_plain = block_forward(lp, x, cos, sin, kv["k"], kv["v"], jnp.int32(0),
+    x_p, kv_p = block_forward(lp, x, cos, sin, kv, jnp.int32(0),
                               pos, mask, spec, fused=False)
-    out_fused = block_forward(lp, x, cos, sin, kv["k"], kv["v"], jnp.int32(0),
+    x_f, kv_f = block_forward(lp, x, cos, sin, kv, jnp.int32(0),
                               pos, mask, spec, fused=True)
-    for a, b, name in zip(out_plain, out_fused, ("x", "k", "v")):
+    for a, b, name in ((x_p, x_f, "x"), (kv_p["k"], kv_f["k"], "k"),
+                       (kv_p["v"], kv_f["v"], "v")):
         np.testing.assert_allclose(
             np.asarray(a, np.float32), np.asarray(b, np.float32),
             atol=0.05, rtol=0.05, err_msg=name)
