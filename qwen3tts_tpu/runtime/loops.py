@@ -241,7 +241,8 @@ def fast_generate_streaming_audio(
     i = 0
     chunk_count = 0
     chunk_start = time.time()
-    pending = engine.chunk_vocode(vocoder, state, tth, tth_len_dev, tpe_ := tts_pad_embed,
+    tpe = tts_pad_embed
+    pending = engine.chunk_vocode(vocoder, state, tth, tth_len_dev, tpe,
                                   policy=policy, pred_policy=pred_policy,
                                   chunk_size=size_at(0), ctx_buf=ctx_buf,
                                   ctx_len=ctx_len, knobs=knobs)
@@ -250,7 +251,7 @@ def fast_generate_streaming_audio(
         may_continue = emitted + size_at(i) < max_new_tokens
         if may_continue:
             pending = engine.chunk_vocode(
-                vocoder, state, tth, tth_len_dev, tpe_,
+                vocoder, state, tth, tth_len_dev, tpe,
                 policy=policy, pred_policy=pred_policy,
                 chunk_size=size_at(i + 1), ctx_buf=ctx_buf, ctx_len=ctx_len,
                 knobs=knobs)
