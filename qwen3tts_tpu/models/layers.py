@@ -89,7 +89,9 @@ def init_kv_cache(
     shape = (spec.num_layers, batch, max_len, spec.num_kv_heads, spec.head_dim)
     if not kv_quant:
         return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
-    sshape = shape[:-1]
+    # scales live as [L, B, KVH, S] — S on the LANE axis so the flash
+    # kernel's per-block DMA slices stay 128-aligned (Mosaic tiling rule)
+    sshape = (spec.num_layers, batch, spec.num_kv_heads, max_len)
     return {
         "k": jnp.zeros(shape, jnp.int8),
         "v": jnp.zeros(shape, jnp.int8),
@@ -205,10 +207,13 @@ def block_forward(
     if kv_quant:
         kq, ks = _quantize_rows(k)
         vq, vs = _quantize_rows(v)
+        # scales are [B, Tq, KVH] -> cache layout [L, B, KVH, S]
         kv["ks"] = jax.lax.dynamic_update_slice(
-            kv["ks"], ks[None], (layer_idx, 0, write_pos, 0))
+            kv["ks"], ks.transpose(0, 2, 1)[None],
+            (layer_idx, 0, 0, write_pos))
         kv["vs"] = jax.lax.dynamic_update_slice(
-            kv["vs"], vs[None], (layer_idx, 0, write_pos, 0))
+            kv["vs"], vs.transpose(0, 2, 1)[None],
+            (layer_idx, 0, 0, write_pos))
         k_row, v_row = kq, vq
     else:
         k_row, v_row = k, v
@@ -245,8 +250,11 @@ def block_forward(
                                                 keepdims=False)
             vs_l = jax.lax.dynamic_index_in_dim(kv["vs"], layer_idx, 0,
                                                 keepdims=False)
-            k_l = (k_l.astype(jnp.float32) * ks_l[..., None]).astype(x.dtype)
-            v_l = (v_l.astype(jnp.float32) * vs_l[..., None]).astype(x.dtype)
+            # ks_l [B, KVH, S] -> broadcast against k_l [B, S, KVH, D]
+            k_l = (k_l.astype(jnp.float32)
+                   * ks_l.transpose(0, 2, 1)[..., None]).astype(x.dtype)
+            v_l = (v_l.astype(jnp.float32)
+                   * vs_l.transpose(0, 2, 1)[..., None]).astype(x.dtype)
         attn = _attn_core(q, k_l, v_l, mask,
                           spec.num_heads // spec.num_kv_heads)
     if fused:

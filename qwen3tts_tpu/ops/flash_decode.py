@@ -74,13 +74,14 @@ def _kernel(
         )
 
     def s_dmas(i, slot):
+        # scales are [L, B, KVH, S]: slice [KVH, BS] on the lane axis
         return (
             pltpu.make_async_copy(
-                ks_hbm.at[lay, b, pl.ds(i * BS, BS)], ksbuf.at[slot],
-                sems.at[slot, 2]),
+                ks_hbm.at[lay, b, slice(None), pl.ds(i * BS, BS)],
+                ksbuf.at[slot], sems.at[slot, 2]),
             pltpu.make_async_copy(
-                vs_hbm.at[lay, b, pl.ds(i * BS, BS)], vsbuf.at[slot],
-                sems.at[slot, 3]),
+                vs_hbm.at[lay, b, slice(None), pl.ds(i * BS, BS)],
+                vsbuf.at[slot], sems.at[slot, 3]),
         )
 
     def start_all(i, slot):
@@ -107,10 +108,11 @@ def _kernel(
     q = q_ref[0].astype(jnp.float32)  # [KVH, G, D]
 
     def load_kv(buf, sbuf, slot):
-        """[BS, KVH, D] tile → [KVH, BS, D] f32, dequantized when int8."""
+        """[BS, KVH, D] tile → [KVH, BS, D] f32, dequantized when int8
+        (scale tiles arrive as [KVH, BS])."""
         t = jnp.swapaxes(buf[slot], 0, 1).astype(jnp.float32)
         if quant:
-            t = t * jnp.swapaxes(sbuf[slot], 0, 1)[..., None]
+            t = t * sbuf[slot][..., None]
         return t
 
     def body(i, _):
@@ -174,7 +176,7 @@ def flash_decode_stacked(
     block_size: int = 256,
     sliding_window: Optional[int] = None,
     interpret: bool = False,
-    k_scale: Optional[jnp.ndarray] = None,  # [L, B, S, KVH] f32 (int8 cache)
+    k_scale: Optional[jnp.ndarray] = None,  # [L, B, KVH, S] f32 (int8 cache)
     v_scale: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Returns attention output [B, NH, D] (same dtype as q); one grid step
@@ -214,7 +216,7 @@ def flash_decode_stacked(
     ]
     if quant:
         in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * 2  # ks, vs (HBM)
-        scratch += [pltpu.VMEM((2, block_size, KVH), jnp.float32)] * 2
+        scratch += [pltpu.VMEM((2, KVH, block_size), jnp.float32)] * 2
     scratch += [
         pltpu.VMEM((KVH, G, 128), jnp.float32),
         pltpu.VMEM((KVH, G, 128), jnp.float32),

@@ -223,7 +223,9 @@ class Engine:
         # batch (the cache position axis is shared across rows); for B==1
         # this is full compaction.
         roll = jnp.min(pad_count)
-        kv = {key_: jnp.roll(val, -roll, axis=2) for key_, val in kv.items()}
+        # position axis: 2 for k/v [L,B,S,KVH,D], 3 for scales [L,B,KVH,S]
+        kv = {key_: jnp.roll(val, -roll, axis=2 if val.ndim == 5 else 3)
+              for key_, val in kv.items()}
         key, ks = jax.random.split(key)
         token = sample_logits(
             ks,
@@ -570,7 +572,10 @@ class Engine:
         start = pos - Tb
         kv = dict(state["kv"])
         for key_ in tiny_kv:  # k/v (+ks/vs when the cache is int8)
-            idx = (0, row, start) + (0,) * (kv[key_].ndim - 3)
+            if kv[key_].ndim == 5:  # k/v [L, B, S, KVH, D]
+                idx = (0, row, start, 0, 0)
+            else:  # scales [L, B, KVH, S] — position is the LAST axis
+                idx = (0, row, 0, start)
             kv[key_] = jax.lax.dynamic_update_slice(kv[key_], tiny_kv[key_], idx)
         key, ks = jax.random.split(state["key"])
         token = sample_logits(

@@ -33,7 +33,8 @@ def _rand(key, shape, dtype=jnp.float32, scale=1.0):
 def test_quantized_cache_structure():
     kv = init_kv_cache(SPEC, 2, 16, jnp.bfloat16, kv_quant=True)
     assert kv["k"].dtype == jnp.int8 and kv["v"].dtype == jnp.int8
-    assert kv["ks"].shape == (2, 2, 16, 2) and kv["ks"].dtype == jnp.float32
+    # scales: [L, B, KVH, S] (S on lanes for 128-aligned kernel DMA slices)
+    assert kv["ks"].shape == (2, 2, 2, 16) and kv["ks"].dtype == jnp.float32
 
 
 def test_block_forward_int8_cache_close_to_exact():
@@ -82,8 +83,9 @@ def test_flash_stacked_int8_matches_masked(pad):
     out = flash_decode_stacked(
         q, jnp.asarray(kq), jnp.asarray(vq), jnp.int32(1), jnp.int32(pos),
         pads, block_size=32,
-        k_scale=jnp.asarray(sc_k, jnp.float32),
-        v_scale=jnp.asarray(sc_v, jnp.float32))
+        # cache scale layout: [L, B, KVH, S] (S on lanes for aligned DMA)
+        k_scale=jnp.asarray(sc_k.transpose(0, 1, 3, 2), jnp.float32),
+        v_scale=jnp.asarray(sc_v.transpose(0, 1, 3, 2), jnp.float32))
 
     # oracle: dequantized masked attention on layer 1
     kd = jnp.asarray(kq[1] * sc_k[1][..., None], jnp.float32)
@@ -96,6 +98,37 @@ def test_flash_stacked_int8_matches_masked(pad):
         np.testing.assert_allclose(np.asarray(out[b], np.float32),
                                    np.asarray(ref, np.float32),
                                    atol=2e-2, rtol=2e-2)
+
+
+def test_join_row_kv_quant_splices_scales(tiny_cfg, tiny_models):
+    """Continuous-batching row join with an int8 cache: the spliced row's
+    scale columns land on the POSITION axis (layout [L,B,KVH,S])."""
+    from qwen3tts_tpu.models.predictor import SamplingPolicy
+    from qwen3tts_tpu.runtime.engine import Engine, GenerationPolicy
+
+    tp, pp = tiny_models
+    H = tiny_cfg.talker.hidden_size
+    eng = Engine(tp, pp, tiny_cfg, max_seq_len=64, batch=2, kv_quant=True)
+    pol = GenerationPolicy(do_sample=False)
+    embeds = jax.random.normal(jax.random.PRNGKey(0), (2, 10, H),
+                               jnp.float32) * 0.1
+    ppol = SamplingPolicy(do_sample=False)
+    state = eng.prefill(embeds, jax.random.PRNGKey(1), pol)
+    tth = jnp.zeros((2, 4, H), jnp.float32)
+    tpe = jnp.zeros((2, 1, H), jnp.float32)
+    # advance the batch past the joiner's prefill bucket (32 slots)
+    for _ in range(3):
+        state, *_ = eng.decode_chunk(state, tth, 0, tpe, pol, ppol, 12)
+    pos0 = int(state["pos"])
+    assert pos0 >= 32
+    new_prompt = jax.random.normal(jax.random.PRNGKey(2), (1, 6, H),
+                                   jnp.float32) * 0.1
+    state = eng.join_row(state, 1, new_prompt, policy=pol,
+                         pred_policy=ppol, pos_hint=pos0)
+    ks = np.asarray(state["kv"]["ks"])  # [L, B, KVH, S]
+    # the joined row's prompt occupies positions [pos0-bucket, pos0): its
+    # scale columns there must be non-zero (quantized rows were written)
+    assert (ks[:, 1, :, pos0 - 1] > 0).all()
 
 
 def test_engine_kv_quant_generates(tiny_cfg, tiny_models, prompt_inputs):
