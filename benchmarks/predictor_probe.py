@@ -74,7 +74,15 @@ def main():
             pp, pcfg, pred_in, k, StaticPolicy(do_sample=False, top_k=50),
             temperature=jnp.float32(0.9), top_p=jnp.float32(1.0))
 
-    for name, fn in (("sampled", run_sampled), ("greedy", run_greedy)):
+    @jax.jit
+    def run_micro_kernel(pp, k):
+        return predictor_lib.predict_frame(
+            pp, pcfg, pred_in, k, StaticPolicy(do_sample=True, top_k=50),
+            temperature=jnp.float32(0.9), top_p=jnp.float32(1.0),
+            micro_kernel=True)
+
+    for name, fn in (("sampled", run_sampled), ("greedy", run_greedy),
+                     ("micro_kernel", run_micro_kernel)):
         log(f"{name}: compiling...")
         t = timeit(lambda fn=fn: fn(pp, key), args.iters)
         results[name] = round(t * 1e3, 3)
