@@ -35,6 +35,15 @@ Batch-1 (the latency path).  Sampling and the per-codebook lm_head/embedding
 stay in XLA between micro-steps.  Reference equivalence: the whole 15-step
 loop inside one CUDA graph (predictor_graph.py:115-167) — this goes further
 by also collapsing the op stream inside each micro-step.
+
+MEASURED RESULT (v5e, benchmarks/predictor_probe.py): 8.94 ms/frame vs the
+XLA path's 4.90 ms — the reshape-free formulation forces per-head matvecs
+([1,TH]x[TH,64]: 64 of 128 MXU output lanes, 16 serialized dots per qkv
+phase) and 97 small grid steps, which costs far more than the op-boundary
+overhead it removes.  Kept as an OPT-IN experiment (predict_frame
+micro_kernel=True) and as the worked example of the phase-grid +
+scalar-prefetch-table pattern; the production predictor path stays XLA
+(~405 GB/s of the ~530 GB/s ceiling).
 """
 from __future__ import annotations
 
