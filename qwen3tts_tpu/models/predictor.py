@@ -172,11 +172,13 @@ def predict_frame(
     )  # [B]
 
     # Whole-micro-step Pallas kernel (ops/predictor_step.py): viable for the
-    # batch-1 latency path with plain (unquantized) weights only.
+    # batch-1 latency path with plain (unquantized) weights and full
+    # (non-sliding) attention only — the kernel masks idx <= pos, nothing
+    # else, so a sliding-window config must use the XLA path.
     from ..ops.quant import is_quantized
 
-    micro_kernel = micro_kernel and B == 1 and not is_quantized(
-        params["blocks"]["qkv_proj"])
+    micro_kernel = (micro_kernel and B == 1 and cfg.sliding_window is None
+                    and not is_quantized(params["blocks"]["qkv_proj"]))
 
     def _sample(ks, logits):
         return sample_logits(
@@ -186,7 +188,14 @@ def predict_frame(
         )
 
     if micro_kernel:
-        from ..ops.predictor_step import fused_micro_step
+        from ..ops.predictor_step import (
+            fused_micro_step, relayout_micro_kernel_weights)
+
+        # one-time relayout, OUTSIDE the scan (inside it, the transposes
+        # would re-run every micro-step — jit caches code, not values)
+        hm = relayout_micro_kernel_weights(
+            params["blocks"], params["small_to_mtp"]["b"],
+            params["final_norm"], cfg.head_dim, cfg.num_key_value_heads)
 
         def body_mk(carry, cb):
             kk, vv, tok_prev, key_c = carry
@@ -195,8 +204,7 @@ def predict_frame(
             pos = jnp.int32(1) + cb
             cos_d, sin_d = _rope(cfg, jnp.broadcast_to(pos[None, None], (1, 1)))
             h, kk, vv = fused_micro_step(
-                params["blocks"], params["small_to_mtp"]["w"],
-                params["small_to_mtp"]["b"], params["final_norm"],
+                hm, params["small_to_mtp"]["w"],
                 emb_t, cos_d[0, 0], sin_d[0, 0], kk, vv, pos,
                 eps=cfg.rms_norm_eps)
             tok = _sample(ks, _lm_logits(params, cb, h))

@@ -40,7 +40,7 @@ def _kernel(
     q_ref,  # VMEM [1, KVH, G, D] — this grid step's row
     k_hbm,  # ANY [L, B, S, KVH, D] — full stacked cache; only layer l is read
     v_hbm,  # ANY [L, B, S, KVH, D]
-    *rest,  # [ks_hbm, vs_hbm (ANY [L,B,S,KVH] f32) when quant], o_ref, scratch
+    *rest,  # [ks_hbm, vs_hbm (ANY [L,B,KVH,S] f32) when quant], o_ref, scratch
     block_size: int,
     sliding_window: Optional[int],
     scale: float,

@@ -272,12 +272,53 @@ def _kernel(
         h_ref[...] = rms_tiled(xp_scr[...], fnorm_ref[...]).astype(h_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def relayout_micro_kernel_weights(
+    blocks: Dict[str, jnp.ndarray],
+    proj_b: jnp.ndarray,
+    final_norm: jnp.ndarray,
+    D: int,
+    KVH: int,
+    tile: int = 512,
+    hpt: int = 8,
+) -> Dict[str, jnp.ndarray]:
+    """One-time head-major / tiled relayout of the predictor weights for
+    fused_micro_step.  MUST be called once outside the decode loop — doing
+    the transposes inside a jitted per-step call would re-emit ~77 MB of
+    relayout work every micro-step (jit caches compiled code, not computed
+    values)."""
+    L, Hp, QT = blocks["qkv_proj"].shape
+    NHtot = QT // D
+    NH = blocks["o_proj"].shape[1] // D
+    I = blocks["down_proj"].shape[1]
+    TH = min(tile, Hp)
+    nH = Hp // TH
+    HPT = min(hpt, NHtot)
+    assert NHtot % HPT == 0 and Hp % TH == 0 and I % min(tile, I) == 0
+    rot = np.zeros((D, D), np.float32)  # x @ rot == rotate_half(x)
+    half = D // 2
+    rot[half:, :half] = -np.eye(half, dtype=np.float32)  # -x2 → first half
+    rot[:half, half:] = np.eye(half, dtype=np.float32)  # x1 → second half
+    return {
+        "qkv_hm": blocks["qkv_proj"].reshape(L, nH, TH, NHtot, D)
+                                    .transpose(0, 3, 1, 2, 4),
+        "o_hm": blocks["o_proj"].reshape(L, NH, D, Hp),
+        "gu_tiled": blocks["gateup_proj"].reshape(L, nH, TH, 2 * I),
+        "dn_tiled": blocks["down_proj"].reshape(L, I, nH, TH),
+        "in_norm": blocks["input_norm"].reshape(L, nH, TH),
+        "post_norm": blocks["post_norm"].reshape(L, nH, TH),
+        "q_norm": blocks["q_norm"][:, None],
+        "k_norm": blocks["k_norm"][:, None],
+        "proj_b": proj_b.reshape(nH, TH).astype(jnp.float32),
+        "final_norm": final_norm.reshape(nH, TH),
+        "rot": jnp.asarray(rot),
+    }
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("eps", "interpret", "tile", "hpt"))
 def fused_micro_step(
-    blocks: Dict[str, jnp.ndarray],  # layer-stacked predictor blocks
+    hm: Dict[str, jnp.ndarray],  # relayout_micro_kernel_weights output
     proj_w: jnp.ndarray,  # [Ht, Hp]
-    proj_b: jnp.ndarray,  # [Hp]
-    final_norm: jnp.ndarray,  # [Hp]
     x_emb: jnp.ndarray,  # [1, Ht] token embedding
     cos: jnp.ndarray,  # [D] rope cos for this position
     sin: jnp.ndarray,
@@ -287,40 +328,25 @@ def fused_micro_step(
     *,
     eps: float = 1e-6,
     interpret: bool = False,
+    tile: int = 512,
+    hpt: int = 8,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One predictor micro-step.  Returns (h [1, Hp], kv_k', kv_v')."""
     L, S, KVH, D = kv_k.shape
     Ht, Hp = proj_w.shape
-    qkv_w = blocks["qkv_proj"]  # [L, Hp, (NH + 2*KVH) * D]
-    Dq = blocks["o_proj"].shape[1]
-    NH = Dq // D
-    NHtot = NH + 2 * KVH
-    I = blocks["down_proj"].shape[1]
-    gu_w = blocks["gateup_proj"]  # [L, Hp, 2I]
+    _, NHtot, nH, TH, _ = hm["qkv_hm"].shape
+    NH = hm["o_hm"].shape[1]
+    I = hm["dn_tiled"].shape[1]
+    qkv_hm, o_hm = hm["qkv_hm"], hm["o_hm"]
+    gu_tiled, dn_tiled = hm["gu_tiled"], hm["dn_tiled"]
 
-    TH = min(512, Hp)
-    nH = Hp // TH
-    HPT = min(8, NHtot)  # qkv heads per phase (~1 MB weight tiles)
-    assert NHtot % HPT == 0
+    HPT = min(hpt, NHtot)
     TQ_t = NHtot // HPT
     TO = TH
-    TG = TD = min(512, I)
+    TG = TD = min(tile, I)
     proj_t, o_t = nH, nH
     gu_t = I // TG
     dn_t = I // TD
-    assert Hp % TH == 0 and I % TG == 0
-
-    # --- host-side weight relayouts (head-major / tiled; done once per
-    #     weight value thanks to jit caching by argument identity) ---
-    qkv_hm = qkv_w.reshape(L, nH, TH, NHtot, D).transpose(0, 3, 1, 2, 4)
-    o_hm = blocks["o_proj"].reshape(L, NH, D, Hp)
-    gu_tiled = gu_w.reshape(L, nH, TH, 2 * I)
-    dn_tiled = blocks["down_proj"].reshape(L, I, nH, TH)
-    rot = np.zeros((D, D), np.float32)  # x @ rot == rotate_half(x)
-    half = D // 2
-    rot[half:, :half] = np.eye(half, dtype=np.float32)  # x2 → first half (neg)
-    rot[half:, :half] *= -1.0
-    rot[:half, half:] = np.eye(half, dtype=np.float32)  # x1 → second half
 
     tabs = _build_schedule(L, TQ_t, o_t, gu_t, dn_t, proj_t)
     G = tabs.shape[1]
@@ -390,15 +416,15 @@ def fused_micro_step(
         jnp.reshape(pos.astype(jnp.int32), (1,)),
         x_emb,
         proj_w,
-        proj_b.reshape(nH, TH).astype(jnp.float32),
-        blocks["input_norm"].reshape(L, nH, TH),
-        blocks["post_norm"].reshape(L, nH, TH),
-        blocks["q_norm"][:, None],
-        blocks["k_norm"][:, None],
-        final_norm.reshape(nH, TH),
+        hm["proj_b"],
+        hm["in_norm"],
+        hm["post_norm"],
+        hm["q_norm"],
+        hm["k_norm"],
+        hm["final_norm"],
         cos.reshape(1, D),
         sin.reshape(1, D),
-        jnp.asarray(rot),
+        hm["rot"],
         qkv_hm,
         o_hm,
         gu_tiled,

@@ -153,9 +153,18 @@ class Engine:
             use_fused_kernels = False
         self.use_fused_kernels = use_fused_kernels
         self.scan_unroll = scan_unroll
-        # int8 KV cache (opt-in): halves attention-read bytes — matters at
-        # B>1 (per-row caches are not weight-amortized) and long positions.
+        # int8 KV cache (opt-in): halves KV memory (serving-batch headroom);
+        # measured speed-neutral at realistic lengths on v5e.  Without the
+        # flash kernel the masked XLA path must materialize a dequantized
+        # copy of each layer slice per step — more traffic than a bf16
+        # cache — so warn when that combination is selected.
         self.kv_quant = kv_quant
+        if kv_quant and not self.use_flash_decode:
+            logger.warning(
+                "kv_quant=True without the flash-decode kernel: the masked "
+                "attention path dequantizes the full cache slice per layer "
+                "per step, which COSTS bandwidth instead of saving it. "
+                "Expect memory savings only.")
         self._suppress = jnp.asarray(
             build_suppress_mask(cfg.talker.vocab_size, self.eos_id)
         )
