@@ -278,8 +278,8 @@ def relayout_micro_kernel_weights(
     final_norm: jnp.ndarray,
     D: int,
     KVH: int,
-    tile: int = 512,
-    hpt: int = 8,
+    tile: int = 256,
+    hpt: int = 4,
 ) -> Dict[str, jnp.ndarray]:
     """One-time head-major / tiled relayout of the predictor weights for
     fused_micro_step.  MUST be called once outside the decode loop — doing
@@ -328,8 +328,8 @@ def fused_micro_step(
     *,
     eps: float = 1e-6,
     interpret: bool = False,
-    tile: int = 512,
-    hpt: int = 8,
+    tile: int = 256,  # 512-tile VMEM footprint measured 21.8M > 16M limit
+    hpt: int = 4,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One predictor micro-step.  Returns (h [1, Hp], kv_k', kv_v')."""
     L, S, KVH, D = kv_k.shape
