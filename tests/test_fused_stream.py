@@ -86,6 +86,21 @@ def test_fused_stream_matches_split(tiny_engine, tiny_vocoder, prompt_inputs,
     _compare(f1, a1, f2, a2, tiny_vocoder.spf, 4, ramp)
 
 
+def test_fused_stream_kv_quant_engine(tiny_cfg, tiny_models, tiny_vocoder,
+                                      prompt_inputs):
+    """The fused chunk+vocode program runs on an int8-KV engine and matches
+    its own split path (quantized cache used identically by both)."""
+    from qwen3tts_tpu.runtime.engine import Engine
+
+    tp, tpp = tiny_models
+    engine = Engine(tp, tpp, tiny_cfg, max_seq_len=64, kv_quant=True)
+    embeds, tth, tpe = prompt_inputs
+    key = jax.random.PRNGKey(11)
+    f1, a1 = _collect_split(engine, tiny_vocoder, embeds, tth, tpe, key)
+    f2, a2 = _collect_fused(engine, tiny_vocoder, embeds, tth, tpe, key)
+    _compare(f1, a1, f2, a2, tiny_vocoder.spf, 4)
+
+
 def test_fused_stream_icl_priming(tiny_engine, tiny_vocoder, prompt_inputs):
     """ref_codes prime the sliding context identically to StreamDecoder."""
     embeds, tth, tpe = prompt_inputs
