@@ -377,3 +377,214 @@ def encode(
 
     _, codes = jax.lax.scan(body, h.astype(jnp.float32), params["encoder"]["codebooks"].astype(jnp.float32))
     return jnp.transpose(codes, (1, 2, 0)).astype(jnp.int32)  # [B, T, Q]
+
+
+# ---------------------------------------------------------------------------
+# stateful streaming decode: codes -> waveform, chunk by chunk, EXACTLY equal
+# to the full decode
+# ---------------------------------------------------------------------------
+#
+# The windowed streamer (audio/vocoder.py:StreamDecoder) re-decodes a
+# context+chunk window every chunk: 25+8 frames of work for 8 frames of new
+# audio (~4x redundant sample-domain compute), and its exactness holds only
+# while the context covers the receptive field — which the pre-transformer's
+# 72-frame sliding window over 4 layers does NOT fit.  The stateful decoder
+# instead carries, across chunks:
+#   - per-transformer-layer rolling K/V windows (last sliding_window-1
+#     frames, post-rope at ABSOLUTE positions — rope attention scores depend
+#     only on position differences, so this equals the full decode exactly);
+#   - per-causal-conv input tails ((K-1)*dilation trailing inputs);
+#   - per-transposed-conv overlap-add tails (the K-stride output samples the
+#     VALID transpose emits beyond the chunk boundary — linearity makes
+#     chunked overlap-add exact).
+# Total state is < 1 MB; every chunk does only its own frames' work.
+
+
+def _stream_conv(x, carry, w, b, *, dilation: int = 1):
+    """Causal conv with carried left context.  carry: [B, (K-1)*d, Cin]."""
+    xin = jnp.concatenate([carry.astype(x.dtype), x], axis=1)
+    out = jax.lax.conv_general_dilated(
+        xin, w, window_strides=(1,), padding=[(0, 0)], rhs_dilation=(dilation,),
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype) + b
+    pad = carry.shape[1]
+    new_carry = xin[:, xin.shape[1] - pad:] if pad else carry
+    return out, new_carry
+
+
+def _stream_tconv(x, tail, w, b, *, stride: int):
+    """Causal transposed conv with carried overlap-add tail.
+    tail: [B, K - stride, Cout] of PRE-bias contributions."""
+    T = x.shape[1]
+    K = w.shape[0]
+    full = jax.lax.conv_transpose(
+        x, w, strides=(stride,), padding="VALID",
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        preferred_element_type=jnp.float32,
+    )  # [B, (T-1)*stride + K, Cout] f32
+    out = full[:, : T * stride, :]
+    ts = tail.shape[1]  # K - stride (0 when K == stride)
+    if ts:
+        out = out.at[:, :ts, :].add(tail.astype(out.dtype))
+        new_tail = full[:, T * stride:, :]
+        # full's tail region is shorter than ts when T*stride overlaps it
+        # fully; VALID length is (T-1)*stride+K = T*stride + (K-stride) ✓
+    else:
+        new_tail = tail
+    return out.astype(x.dtype) + b, new_tail.astype(tail.dtype) if ts else tail
+
+
+def _stream_convnext_forward(p, x, carry):
+    xin = jnp.concatenate([carry.astype(x.dtype), x], axis=1)
+    h = jax.lax.conv_general_dilated(
+        xin, p["dw"]["w"], window_strides=(1,), padding=[(0, 0)],
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        feature_group_count=x.shape[-1],
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype) + p["dw"]["b"]
+    new_carry = xin[:, xin.shape[1] - carry.shape[1]:]
+    h = layer_norm(h, p["norm_w"], p["norm_b"])
+    h = h @ p["pw1"]["w"] + p["pw1"]["b"]
+    h = jax.nn.gelu(h)
+    h = h @ p["pw2"]["w"] + p["pw2"]["b"]
+    return x + h * p["scale"], new_carry
+
+
+def _stream_resunit(p, x, carry, dilation):
+    h = snake_beta(x, p["alpha1"], p["beta1"])
+    h, carry = _stream_conv(h, carry, p["conv1"]["w"], p["conv1"]["b"],
+                            dilation=dilation)
+    h = snake_beta(h, p["alpha2"], p["beta2"])
+    h = causal_conv(h, p["conv2"]["w"], p["conv2"]["b"])  # K=1: stateless
+    return x + h, carry
+
+
+def _stream_xf(layers, x, kwins, vwins, frame0, cfg: CodecConfig):
+    """Pre-transformer with per-layer rolling K/V windows (length W-1)."""
+    B, n, H = x.shape
+    D, NH, KVH = cfg.head_dim, cfg.num_attention_heads, cfg.num_key_value_heads
+    W = cfg.sliding_window
+    G = NH // KVH
+    qi = frame0 + jnp.arange(n, dtype=jnp.int32)  # [n] absolute
+    pos = jnp.broadcast_to(qi[None], (B, n))
+    cos, sin = mrope_cos_sin(pos, D, cfg.rope_theta, None)
+    ki = jnp.concatenate(
+        [frame0 - (W - 1) + jnp.arange(W - 1, dtype=jnp.int32), qi])  # [W-1+n]
+    mask = ((ki[None, None, :] <= qi[None, :, None])
+            & (ki[None, None, :] > qi[None, :, None] - W)
+            & (ki[None, None, :] >= 0))  # [1, n, W-1+n]
+    mask = jnp.broadcast_to(mask, (B, n, W - 1 + n))
+
+    new_k, new_v = [], []
+    for li, p in enumerate(layers):
+        h = rms_norm(x, p["ln1"], cfg.rms_norm_eps)
+        q = (h @ p["q"]["w"] + p["q"]["b"]).reshape(B, n, NH, D)
+        k = (h @ p["k"]["w"] + p["k"]["b"]).reshape(B, n, KVH, D)
+        v = (h @ p["v"]["w"] + p["v"]["b"]).reshape(B, n, KVH, D)
+        q, k = apply_rope(q, k, cos, sin)  # absolute positions: rope scores
+        q = q.astype(x.dtype)              # depend only on differences, so
+        k = k.astype(x.dtype)              # this equals the full decode
+        k_all = jnp.concatenate([kwins[li].astype(x.dtype), k], axis=1)
+        v_all = jnp.concatenate([vwins[li].astype(x.dtype), v], axis=1)
+        qg = q.reshape(B, n, KVH, G, D)
+        scores = jnp.einsum("btkgd,bskd->bkgts", qg, k_all,
+                            preferred_element_type=jnp.float32) * (D**-0.5)
+        scores = jnp.where(mask[:, None, None, :, :], scores, -1e30)
+        probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+        attn = jnp.einsum("bkgts,bskd->btkgd", probs, v_all,
+                          preferred_element_type=jnp.float32)
+        attn = attn.reshape(B, n, NH * D).astype(x.dtype)
+        x = x + (attn @ p["o"]["w"] + p["o"]["b"]) * p["scale1"]
+        h = rms_norm(x, p["ln2"], cfg.rms_norm_eps)
+        h = jax.nn.silu(h @ p["gate"]["w"] + p["gate"]["b"]) * (
+            h @ p["up"]["w"] + p["up"]["b"])
+        x = x + (h @ p["down"]["w"] + p["down"]["b"]) * p["scale2"]
+        new_k.append(k_all[:, k_all.shape[1] - (W - 1):])
+        new_v.append(v_all[:, v_all.shape[1] - (W - 1):])
+    return x, new_k, new_v
+
+
+def stream_init(params: Params, cfg: CodecConfig, batch: int = 1) -> Dict:
+    """Zero streaming state for decode_stream."""
+    dec = params["decoder"]
+    dt = dec["dec_in"]["w"].dtype
+    H = cfg.hidden_size
+    W = cfg.sliding_window
+    KVH, D = cfg.num_key_value_heads, cfg.head_dim
+    L = len(dec["pre_transformer"])
+    st: Dict = {
+        "frame0": jnp.int32(0),
+        "xf_k": [jnp.zeros((batch, W - 1, KVH, D), dt) for _ in range(L)],
+        "xf_v": [jnp.zeros((batch, W - 1, KVH, D), dt) for _ in range(L)],
+        "up": [],
+        "dec_in": jnp.zeros((batch, 6, H), dt),
+        "blocks": [],
+        "out": None,
+    }
+    for stg, r in zip(dec["upsample"], cfg.upsampling_ratios):
+        K = stg["tconv"]["w"].shape[0]
+        st["up"].append({
+            "tail": jnp.zeros((batch, K - r, H), jnp.float32),
+            "cnx": jnp.zeros((batch, 6, H), dt),
+        })
+    dim = cfg.decoder_dim
+    for blk, rate in zip(dec["blocks"], cfg.upsample_rates):
+        out_dim = dim // 2
+        K = blk["tconv"]["w"].shape[0]
+        st["blocks"].append({
+            "tail": jnp.zeros((batch, K - rate, out_dim), jnp.float32),
+            "units": [jnp.zeros((batch, 6 * d, out_dim), dt) for d in (1, 3, 9)],
+        })
+        dim = out_dim
+    st["out"] = jnp.zeros((batch, 6, dim), dt)
+    return st
+
+
+def decode_stream(
+    params: Params,
+    cfg: CodecConfig,
+    state: Dict,
+    codes: jnp.ndarray,  # [B, n, num_quantizers] int32
+) -> Tuple[jnp.ndarray, Dict]:
+    """Streaming decode of ``n`` new frames.  Returns (wav [B, n*up], state').
+    Chaining calls is sample-exact vs decode() on the concatenated codes."""
+    dec = params["decoder"]
+    B, n, Q = codes.shape
+    st = dict(state)
+    offsets = jnp.arange(cfg.num_quantizers, dtype=jnp.int32)[None, None, :] \
+        * cfg.codebook_size
+    emb = dec["code_embedding"][codes + offsets]
+    h = emb.mean(axis=2)
+
+    h, new_k, new_v = _stream_xf(dec["pre_transformer"], h, st["xf_k"],
+                                 st["xf_v"], st["frame0"], cfg)
+    st["xf_k"], st["xf_v"] = new_k, new_v
+    st["frame0"] = st["frame0"] + n
+
+    new_up = []
+    for stg, u_st, ratio in zip(dec["upsample"], st["up"], cfg.upsampling_ratios):
+        h, tail = _stream_tconv(h, u_st["tail"], stg["tconv"]["w"],
+                                stg["tconv"]["b"], stride=ratio)
+        h, cnx = _stream_convnext_forward(stg["convnext"], h, u_st["cnx"])
+        new_up.append({"tail": tail, "cnx": cnx})
+    st["up"] = new_up
+
+    w, st["dec_in"] = _stream_conv(h, st["dec_in"], dec["dec_in"]["w"],
+                                   dec["dec_in"]["b"])
+    new_blocks = []
+    for blk, b_st, rate in zip(dec["blocks"], st["blocks"], cfg.upsample_rates):
+        w = snake_beta(w, blk["alpha"], blk["beta"])
+        w, tail = _stream_tconv(w, b_st["tail"], blk["tconv"]["w"],
+                                blk["tconv"]["b"], stride=rate)
+        new_units = []
+        for unit, u_carry, dilation in zip(blk["units"], b_st["units"], (1, 3, 9)):
+            w, u_carry = _stream_resunit(unit, w, u_carry, dilation)
+            new_units.append(u_carry)
+        new_blocks.append({"tail": tail, "units": new_units})
+    st["blocks"] = new_blocks
+
+    w = snake_beta(w, dec["out_alpha"], dec["out_beta"])
+    w, st["out"] = _stream_conv(w, st["out"], dec["dec_out"]["w"],
+                                dec["dec_out"]["b"])
+    return jnp.clip(w[..., 0].astype(jnp.float32), -1.0, 1.0), st

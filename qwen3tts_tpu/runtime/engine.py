@@ -476,8 +476,8 @@ class Engine:
     # ------------------------------------------------------------------
 
     def _build_chunk_vocode(self, vocoder, chunk_size: int):
-        """Compile decode_chunk + the codec's sliding-window decode into ONE
-        program: one dispatch and one host fetch per streamed audio chunk.
+        """Compile decode_chunk + the codec's STATEFUL streaming decode into
+        ONE program: one dispatch and one host fetch per streamed audio chunk.
 
         The separate-program streaming path pays ~3-4 host↔device round
         trips per chunk (chunk dispatch, frames fetch, codes upload + vocoder
@@ -486,50 +486,65 @@ class Engine:
         splits them too (CUDA-graph decode, then speech_tokenizer decode —
         model.py:769-826); a jitted composite is the TPU-native fix.
 
-        Window layout matches audio/vocoder.py:StreamDecoder exactly —
-        [valid context frames, new chunk frames, right-pad] — so the fused
-        path is sample-exact vs the unfused one (strict causality makes the
-        right-pad immaterial)."""
+        The vocoder side uses models/codec.py:decode_stream with its carried
+        conv/attention state instead of re-decoding a 25+chunk frame window:
+        only the NEW frames' samples are computed (the window redecode was
+        ~4x redundant), and the result is sample-EXACT vs a full decode —
+        stronger than the window scheme, whose exactness required the
+        context to cover the receptive field (the codec pre-transformer's
+        72-frame sliding window over 4 layers does not fit in 25 frames)."""
         from ..models import codec as codec_lib
 
-        CTX = vocoder.context_frames
-        spf = vocoder.spf
-        NQ = vocoder.cfg.num_quantizers
         voc_cfg = vocoder.cfg
 
         def impl(talker_params, pred_params, voc_params, state, tth, tth_len,
-                 tpe, knobs, ctx_buf, ctx_len, policy, pred_policy):
+                 tpe, knobs, voc_state, policy, pred_policy):
             state, frames, n, lens, done = self._chunk_impl(
                 talker_params, pred_params, state, tth, tth_len, tpe, knobs,
                 policy, pred_policy, chunk_size)
-            # window = [ctx (ctx_len valid), chunk frames, zeros] — invariant:
-            # ctx_buf rows >= ctx_len are zero, so stale rows never precede
-            # the new frames
-            hist = jnp.concatenate(
-                [ctx_buf, jnp.zeros((chunk_size, NQ), jnp.int32)], axis=0)
-            hist = jax.lax.dynamic_update_slice(
-                hist, frames[0], (ctx_len, jnp.int32(0)))
-            wav = codec_lib.decode(voc_params, codes=hist[None], cfg=voc_cfg)
-            audio = jax.lax.dynamic_slice(
-                wav, (jnp.int32(0), ctx_len * spf), (1, chunk_size * spf))[0]
-            # slide the context window; only exact when n == chunk_size,
-            # which holds for every non-final chunk (the final chunk's
-            # context is never used again)
-            start = jnp.clip(ctx_len + n - CTX, 0, chunk_size)
-            new_ctx = jax.lax.dynamic_slice(hist, (start, jnp.int32(0)),
-                                            (CTX, NQ))
-            new_len = jnp.minimum(ctx_len + n, CTX)
-            return state, frames, n, lens, done, audio, new_ctx, new_len
+            # Frames beyond ``n`` (post-EOS garbage on the FINAL chunk) do
+            # enter the stream state, but the stream ends there — no later
+            # chunk reads the corrupted state.  Mid-stream chunks are full.
+            audio, voc_state = codec_lib.decode_stream(
+                voc_params, voc_cfg, voc_state, frames[:1, :chunk_size])
+            return state, frames, n, lens, done, audio[0], voc_state
 
         return jax.jit(impl, static_argnames=("policy", "pred_policy"),
-                       donate_argnames=("state",))
+                       donate_argnames=("state", "voc_state"))
+
+    def vocode_stream_init(self, vocoder):
+        """Fresh device-side codec streaming state (models/codec.py)."""
+        from ..models import codec as codec_lib
+
+        return codec_lib.stream_init(vocoder.params, vocoder.cfg, batch=1)
+
+    def vocode_prime(self, vocoder, voc_state, codes: np.ndarray,
+                     chunk_sizes=(8, 4, 2, 1)):
+        """Feed reference codec codes (ICL voice clone) through the stream
+        state, discarding audio.  Chunks the feed with a fixed size set so
+        compile count stays bounded regardless of the reference length."""
+        from ..models import codec as codec_lib
+
+        if not hasattr(self, "_vocode_prime_jit"):
+            self._vocode_prime_jit = jax.jit(
+                functools.partial(codec_lib.decode_stream, cfg=vocoder.cfg),
+                donate_argnames=("state",))
+        codes = np.asarray(codes, np.int32)
+        i = 0
+        while i < len(codes):
+            step = next(s for s in chunk_sizes if s <= len(codes) - i)
+            _, voc_state = self._vocode_prime_jit(
+                vocoder.params, state=voc_state,
+                codes=jnp.asarray(codes[None, i:i + step]))
+            i += step
+        return voc_state
 
     def chunk_vocode(self, vocoder, state, tth, tth_len, tpe, policy,
-                     pred_policy, chunk_size, ctx_buf, ctx_len, knobs=None):
-        """Fused decode_chunk + vocoder window.  Returns
-        (state, frames, n, lens, done, audio [chunk*spf] f32, ctx_buf',
-        ctx_len') — batch-1 streaming only.  ``audio`` must be trimmed to
-        ``n*spf`` samples by the caller."""
+                     pred_policy, chunk_size, voc_state, knobs=None):
+        """Fused decode_chunk + stateful vocoder.  Returns
+        (state, frames, n, lens, done, audio [chunk*spf] f32, voc_state') —
+        batch-1 streaming only.  ``audio`` must be trimmed to ``n*spf``
+        samples by the caller."""
         assert self.batch == 1, "fused streaming vocode is batch-1"
         if knobs is None:
             knobs = make_knobs(policy, pred_policy)
@@ -542,8 +557,7 @@ class Engine:
             fn = cache[ck] = self._build_chunk_vocode(vocoder, chunk_size)
         return fn(
             self.talker_params, self.predictor_params, vocoder.params, state,
-            tth, self._tth_len_vec(tth_len), tpe, knobs,
-            ctx_buf, jnp.asarray(ctx_len, jnp.int32),
+            tth, self._tth_len_vec(tth_len), tpe, knobs, voc_state,
             policy=policy.static, pred_policy=pred_policy.static,
         )
 
@@ -688,12 +702,11 @@ class Engine:
                 state, tth, 0, tpe, policy, pred_policy, cs, knobs=knobs
             )
         if vocoder is not None and B == 1:
-            ctx = jnp.zeros((vocoder.context_frames,
-                             vocoder.cfg.num_quantizers), jnp.int32)
+            vst = self.vocode_stream_init(vocoder)
             for cs in chunk_sizes:
                 out = self.chunk_vocode(vocoder, state, tth, 0, tpe, policy,
-                                        pred_policy, cs, ctx, 0, knobs=knobs)
-                state = out[0]
+                                        pred_policy, cs, vst, knobs=knobs)
+                state, vst = out[0], out[6]
         jax.block_until_ready(state)
         self._warmed_up = True
         dt = time.time() - t0
@@ -740,10 +753,9 @@ class Engine:
                     state, tth, 0, tpe, policy, pred_policy, cs, knobs=knobs
                 )
                 if vocoder is not None and B == 1:
-                    ctx = jnp.zeros((vocoder.context_frames,
-                                     vocoder.cfg.num_quantizers), jnp.int32)
+                    vst = self.vocode_stream_init(vocoder)
                     out = self.chunk_vocode(vocoder, state, tth, 0, tpe,
-                                            policy, pred_policy, cs, ctx, 0,
+                                            policy, pred_policy, cs, vst,
                                             knobs=knobs)
                     state = out[0]
         jax.block_until_ready(state["token"])

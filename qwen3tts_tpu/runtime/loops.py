@@ -218,17 +218,13 @@ def fast_generate_streaming_audio(
     state = engine.prefill(talker_input_embeds, key, policy, bucketed=bucketed)
     t_prefill = time.time() - t0
 
-    CTX = vocoder.context_frames
-    NQ = vocoder.cfg.num_quantizers
     spf = vocoder.spf
-    ctx_np = np.zeros((CTX, NQ), np.int32)
-    ctx_len = 0
+    voc_state = engine.vocode_stream_init(vocoder)
     if ref_codes is not None and len(ref_codes):
-        tail = np.asarray(ref_codes, np.int32)[-CTX:]
-        ctx_np[: len(tail)] = tail
-        ctx_len = len(tail)
-    ctx_buf = jnp.asarray(ctx_np)
-    ctx_len = jnp.int32(ctx_len)
+        # ICL: reference codec frames prime the codec's streaming state
+        # (conv tails + attention windows), audio discarded — the stateful
+        # analog of StreamDecoder.feed(ref_codes)
+        voc_state = engine.vocode_prime(vocoder, voc_state, ref_codes)
 
     sizes = list(first_chunks) + [chunk_size]
 
@@ -244,16 +240,16 @@ def fast_generate_streaming_audio(
     tpe = tts_pad_embed
     pending = engine.chunk_vocode(vocoder, state, tth, tth_len_dev, tpe,
                                   policy=policy, pred_policy=pred_policy,
-                                  chunk_size=size_at(0), ctx_buf=ctx_buf,
-                                  ctx_len=ctx_len, knobs=knobs)
+                                  chunk_size=size_at(0), voc_state=voc_state,
+                                  knobs=knobs)
     while True:
-        state, frames, n, lens, done, audio, ctx_buf, ctx_len = pending
+        state, frames, n, lens, done, audio, voc_state = pending
         may_continue = emitted + size_at(i) < max_new_tokens
         if may_continue:
             pending = engine.chunk_vocode(
                 vocoder, state, tth, tth_len_dev, tpe,
                 policy=policy, pred_policy=pred_policy,
-                chunk_size=size_at(i + 1), ctx_buf=ctx_buf, ctx_len=ctx_len,
+                chunk_size=size_at(i + 1), voc_state=voc_state,
                 knobs=knobs)
         frames_np, n_val, done_val, audio_np = jax.device_get(
             (frames, n, done, audio))  # ONE sync per chunk

@@ -1,11 +1,13 @@
 """Fused decode+vocode streaming (Engine.chunk_vocode +
-loops.fast_generate_streaming_audio) vs the split path.
+loops.fast_generate_streaming_audio).
 
-Contract: with the same PRNG key the fused program yields the SAME codec
-frames as loops.fast_generate_streaming and the SAME audio samples as
-feeding those frames through audio/vocoder.py:StreamDecoder — the window
-layout ([valid ctx, chunk, right-pad]) is identical, so on one backend the
-results are bit-comparable (tiny float tolerance for op-ordering).
+Contract (round 2, stateful vocoder): with the same PRNG key the fused
+program yields the SAME codec frames as loops.fast_generate_streaming, and
+its audio is SAMPLE-EXACT vs a FULL vocoder decode of those frames — the
+codec streaming state (models/codec.py:decode_stream) carries conv tails +
+attention windows, so chunked decode equals the unchunked one by linearity/
+causality, with no receptive-field caveat (unlike the 25-frame window
+StreamDecoder, which under-covers the pre-transformer's sliding window).
 """
 import jax
 import jax.numpy as jnp
@@ -27,20 +29,16 @@ def tiny_vocoder(tiny_cfg):
                    compute_dtype=jnp.float32)
 
 
-def _collect_split(engine, vocoder, embeds, tth, tpe, key, ref_codes=None,
-                   chunk_size=4, first_chunks=(), max_new_tokens=14):
-    sd = vocoder.stream_decoder(chunk_size)
-    if ref_codes is not None and len(ref_codes):
-        sd.feed(np.asarray(ref_codes))
-    frames, audio = [], []
+def _collect_frames(engine, embeds, tth, tpe, key, chunk_size=4,
+                    first_chunks=(), max_new_tokens=14):
+    frames = []
     for chunk, _t in loops.fast_generate_streaming(
         engine, embeds, tth, tpe, key=key, max_new_tokens=max_new_tokens,
         policy=GenerationPolicy(), pred_policy=SamplingPolicy(),
         chunk_size=chunk_size, first_chunks=first_chunks,
     ):
         frames.append(chunk)
-        audio.append(sd.feed(chunk))
-    return frames, audio
+    return frames
 
 
 def _collect_fused(engine, vocoder, embeds, tth, tpe, key, ref_codes=None,
@@ -57,59 +55,80 @@ def _collect_fused(engine, vocoder, embeds, tth, tpe, key, ref_codes=None,
     return frames, audio
 
 
-def _compare(f1, a1, f2, a2, spf, chunk_size, first_chunks=()):
-    np.testing.assert_array_equal(np.concatenate(f1), np.concatenate(f2))
-    assert sum(a.shape[0] for a in a1) == sum(a.shape[0] for a in a2)
-    sizes = list(first_chunks) + [chunk_size]
-    for i, (c1, c2, fr) in enumerate(zip(a1, a2, f2)):
-        assert c1.shape == c2.shape
-        assert c2.shape[0] == fr.shape[0] * spf
-        expected = sizes[min(i, len(sizes) - 1)]
-        if fr.shape[0] == expected:
-            # full chunk: identical window layout in both paths → identical
-            # samples.  (A FINAL partial chunk is decoded by StreamDecoder
-            # with extra borrowed context — both variants are exact given
-            # context >= receptive field, but not bit-identical.)
-            np.testing.assert_allclose(c1, c2, atol=1e-5,
-                                       err_msg=f"chunk {i}")
-
-
 @pytest.mark.parametrize("ramp", [(), (2,)])
-def test_fused_stream_matches_split(tiny_engine, tiny_vocoder, prompt_inputs,
-                                    ramp):
+def test_fused_stream_audio_exact_vs_full_decode(tiny_engine, tiny_vocoder,
+                                                 prompt_inputs, ramp):
     embeds, tth, tpe = prompt_inputs
     key = jax.random.PRNGKey(42)
-    f1, a1 = _collect_split(tiny_engine, tiny_vocoder, embeds, tth, tpe, key,
-                            first_chunks=ramp)
-    f2, a2 = _collect_fused(tiny_engine, tiny_vocoder, embeds, tth, tpe, key,
-                            first_chunks=ramp)
-    _compare(f1, a1, f2, a2, tiny_vocoder.spf, 4, ramp)
+    want_frames = _collect_frames(tiny_engine, embeds, tth, tpe, key,
+                                  first_chunks=ramp)
+    got_frames, audio = _collect_fused(tiny_engine, tiny_vocoder, embeds, tth,
+                                       tpe, key, first_chunks=ramp)
+    np.testing.assert_array_equal(np.concatenate(want_frames),
+                                  np.concatenate(got_frames))
+    allf = np.concatenate(got_frames)
+    full = tiny_vocoder.decode(allf)
+    stream = np.concatenate(audio)
+    assert stream.shape == full.shape
+    np.testing.assert_allclose(stream, full, atol=1e-5)
+    assert stream.shape[0] == allf.shape[0] * tiny_vocoder.spf
+
+
+def test_fused_stream_icl_priming_exact(tiny_engine, tiny_vocoder,
+                                        prompt_inputs):
+    """ref_codes prime the codec stream state: the streamed audio equals the
+    full decode of [ref_codes, generated frames] minus the ref portion."""
+    embeds, tth, tpe = prompt_inputs
+    key = jax.random.PRNGKey(7)
+    NQ = tiny_vocoder.cfg.num_quantizers
+    ref_codes = np.random.RandomState(0).randint(
+        0, tiny_vocoder.cfg.codebook_size, size=(9, NQ)).astype(np.int32)
+    frames, audio = _collect_fused(tiny_engine, tiny_vocoder, embeds, tth,
+                                   tpe, key, ref_codes=ref_codes)
+    allf = np.concatenate(frames)
+    combined = np.concatenate([ref_codes, allf])
+    full = tiny_vocoder.decode(combined)
+    stream = np.concatenate(audio)
+    np.testing.assert_allclose(
+        stream, full[len(ref_codes) * tiny_vocoder.spf:], atol=1e-5)
 
 
 def test_fused_stream_kv_quant_engine(tiny_cfg, tiny_models, tiny_vocoder,
                                       prompt_inputs):
-    """The fused chunk+vocode program runs on an int8-KV engine and matches
-    its own split path (quantized cache used identically by both)."""
+    """The fused chunk+vocode program runs on an int8-KV engine; audio stays
+    exact vs the full decode of its own frames."""
     from qwen3tts_tpu.runtime.engine import Engine
 
     tp, tpp = tiny_models
     engine = Engine(tp, tpp, tiny_cfg, max_seq_len=64, kv_quant=True)
     embeds, tth, tpe = prompt_inputs
     key = jax.random.PRNGKey(11)
-    f1, a1 = _collect_split(engine, tiny_vocoder, embeds, tth, tpe, key)
-    f2, a2 = _collect_fused(engine, tiny_vocoder, embeds, tth, tpe, key)
-    _compare(f1, a1, f2, a2, tiny_vocoder.spf, 4)
+    frames, audio = _collect_fused(engine, tiny_vocoder, embeds, tth, tpe, key)
+    allf = np.concatenate(frames)
+    np.testing.assert_allclose(np.concatenate(audio),
+                               tiny_vocoder.decode(allf), atol=1e-5)
 
 
-def test_fused_stream_icl_priming(tiny_engine, tiny_vocoder, prompt_inputs):
-    """ref_codes prime the sliding context identically to StreamDecoder."""
-    embeds, tth, tpe = prompt_inputs
-    key = jax.random.PRNGKey(7)
-    NQ = tiny_vocoder.cfg.num_quantizers
-    ref_codes = np.random.RandomState(0).randint(
-        0, tiny_vocoder.cfg.codebook_size, size=(9, NQ)).astype(np.int32)
-    f1, a1 = _collect_split(tiny_engine, tiny_vocoder, embeds, tth, tpe, key,
-                            ref_codes=ref_codes)
-    f2, a2 = _collect_fused(tiny_engine, tiny_vocoder, embeds, tth, tpe, key,
-                            ref_codes=ref_codes)
-    _compare(f1, a1, f2, a2, tiny_vocoder.spf, 4)
+def test_codec_decode_stream_exact(tiny_cfg):
+    """Direct decode_stream chaining == full decode, uneven chunks, nonzero
+    biases (perturbed like tests/test_codec.py's pad guard)."""
+    cfg = tiny_cfg.codec
+    params = codec_lib.init_params(jax.random.PRNGKey(3), cfg, jnp.float32)
+    # perturb biases so state/pad bugs can't hide behind zeros
+    params = jax.tree.map(
+        lambda a: a + 0.05 if a.ndim == 1 and a.dtype == jnp.float32 else a,
+        params)
+    T = 17
+    codes = jax.random.randint(jax.random.PRNGKey(4),
+                               (1, T, cfg.num_quantizers), 0,
+                               cfg.codebook_size)
+    full = np.asarray(codec_lib.decode(params, cfg, codes))
+    st = codec_lib.stream_init(params, cfg, 1)
+    outs, i = [], 0
+    for n in (1, 4, 2, 5, 5):
+        w, st = codec_lib.decode_stream(params, cfg, st, codes[:, i:i + n])
+        outs.append(np.asarray(w))
+        i += n
+    # 1e-4: conv VALID-vs-padded lowering reorders f32 accumulation; a state
+    # bug would show O(1) errors (on [-1, 1] audio), not 1e-5-scale rounding
+    np.testing.assert_allclose(np.concatenate(outs, axis=1), full, atol=1e-4)
