@@ -513,10 +513,22 @@ class Engine:
                        donate_argnames=("state", "voc_state"))
 
     def vocode_stream_init(self, vocoder):
-        """Fresh device-side codec streaming state (models/codec.py)."""
+        """Fresh device-side codec streaming state (models/codec.py).
+
+        Jitted into ONE program: stream_init allocates ~30 small buffers,
+        and eager per-buffer dispatch costs a tunnel round trip each —
+        measured +85 ms of TTFA before this was fused.  (stream_init reads
+        params only for shapes/dtypes, so the closure bakes no weights.)"""
         from ..models import codec as codec_lib
 
-        return codec_lib.stream_init(vocoder.params, vocoder.cfg, batch=1)
+        cache = getattr(self, "_voc_init_cache", None)
+        if cache is None:
+            cache = self._voc_init_cache = {}
+        fn = cache.get(id(vocoder))
+        if fn is None:
+            fn = cache[id(vocoder)] = jax.jit(
+                lambda: codec_lib.stream_init(vocoder.params, vocoder.cfg, 1))
+        return fn()
 
     def vocode_prime(self, vocoder, voc_state, codes: np.ndarray,
                      chunk_sizes=(8, 4, 2, 1)):
