@@ -525,7 +525,7 @@ class FasterQwen3TTS:
             ):
                 yield audio, self.sample_rate, timing
             return
-        sd = self.vocoder.stream_decoder(chunk_size)
+        sd = self.vocoder.stateful_stream_decoder()
         if ref_codes is not None and len(ref_codes):
             sd.feed(np.asarray(ref_codes))  # prime acoustic context, discard audio
         codes_iter = self._parity_stream(embeds, trailing, tpe, pol, ppol,

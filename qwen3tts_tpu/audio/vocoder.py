@@ -74,6 +74,11 @@ class Vocoder:
     def stream_decoder(self, chunk_size: int) -> "StreamDecoder":
         return StreamDecoder(self, chunk_size)
 
+    def stateful_stream_decoder(self) -> "StatefulStreamDecoder":
+        """Exact streaming decoder carrying codec state (no context window);
+        see StatefulStreamDecoder."""
+        return StatefulStreamDecoder(self)
+
     # -- encode ---------------------------------------------------------
     def encode(self, wav: np.ndarray) -> np.ndarray:
         """waveform [N] @ cfg.sample_rate → codes [T, 16].
@@ -131,3 +136,42 @@ class StreamDecoder:
         out = np.asarray(wav[0, n_ctx * self.v.spf : n_valid * self.v.spf])
         self.n_emitted_frames = total
         return out
+
+
+class StatefulStreamDecoder:
+    """Streaming decoder over models/codec.py:decode_stream — carries conv
+    tails + attention windows instead of re-decoding a context window, so
+    each feed() does only its own frames' work and the concatenated output
+    is SAMPLE-EXACT vs a full decode (the window scheme was approximate:
+    the codec pre-transformer's 72-frame sliding attention over 4 layers
+    exceeds the 25-frame context).
+
+    Drop-in for StreamDecoder.feed(); compile count is bounded by chunking
+    arbitrary feeds into a fixed size set."""
+
+    FEED_SIZES = (8, 4, 2, 1)
+
+    def __init__(self, vocoder: Vocoder):
+        self.v = vocoder
+        self._step = jax.jit(
+            functools.partial(codec_lib.decode_stream, cfg=vocoder.cfg),
+            donate_argnames=("state",))
+        self._init = jax.jit(
+            lambda: codec_lib.stream_init(vocoder.params, vocoder.cfg, 1))
+        self.state = self._init()
+
+    def feed(self, new_codes: np.ndarray) -> np.ndarray:
+        n = len(new_codes)
+        if n == 0:
+            return np.zeros((0,), np.float32)
+        codes = np.asarray(new_codes, np.int32)
+        outs = []
+        i = 0
+        while i < n:
+            step = next(s for s in self.FEED_SIZES if s <= n - i)
+            wav, self.state = self._step(
+                self.v.params, state=self.state,
+                codes=jnp.asarray(codes[None, i:i + step]))
+            outs.append(np.asarray(wav[0]))
+            i += step
+        return np.concatenate(outs)

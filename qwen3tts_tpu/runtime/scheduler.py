@@ -331,7 +331,7 @@ class ContinuousBatcher:
 
     def _start_request(self, req: _Request):
         req.started_at = time.time()
-        req.sd = self.model.vocoder.stream_decoder(self.chunk_size)
+        req.sd = self.model.vocoder.stateful_stream_decoder()
         if req.ref_codes is not None:
             req.sd.feed(req.ref_codes)  # prime ICL acoustic context
 
