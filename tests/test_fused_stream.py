@@ -132,3 +132,18 @@ def test_codec_decode_stream_exact(tiny_cfg):
     # 1e-4: conv VALID-vs-padded lowering reorders f32 accumulation; a state
     # bug would show O(1) errors (on [-1, 1] audio), not 1e-5-scale rounding
     np.testing.assert_allclose(np.concatenate(outs, axis=1), full, atol=1e-4)
+
+
+def test_host_stateful_stream_decoder(tiny_vocoder):
+    """StatefulStreamDecoder.feed with arbitrary feed sizes == full decode."""
+    NQ = tiny_vocoder.cfg.num_quantizers
+    codes = np.random.RandomState(5).randint(
+        0, tiny_vocoder.cfg.codebook_size, size=(23, NQ)).astype(np.int32)
+    sd = tiny_vocoder.stateful_stream_decoder()
+    outs = []
+    i = 0
+    for n in (7, 1, 8, 5, 2):
+        outs.append(sd.feed(codes[i:i + n]))
+        i += n
+    full = tiny_vocoder.decode(codes)
+    np.testing.assert_allclose(np.concatenate(outs), full, atol=1e-5)
