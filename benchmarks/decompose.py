@@ -165,12 +165,28 @@ def main():
     t_chunk16 = timeit(run_chunk, max(4, args.iters // 8), pipeline=True) / 16
     log(f"chunk16/step: {t_chunk16*1e3:.2f} ms")
 
-    # --- streaming vocoder window (25 ctx + 8)
+    # --- streaming vocoder: legacy window (25 ctx + 8) vs stateful stream
     from qwen3tts_tpu.audio.vocoder import Vocoder
+    from qwen3tts_tpu.models import codec as codec_mod
     voc = Vocoder(params["codec"], cfg.codec)
     codes = jnp.zeros((1, 33, cfg.codec.num_quantizers), jnp.int32)
     voc_fn = lambda: voc._decode_jit(voc.params, codes=codes)
     t_voc = timeit(voc_fn, max(4, args.iters // 4), pipeline=True)
+
+    vstate = jax.jit(lambda: codec_mod.stream_init(voc.params, voc.cfg, 1))()
+    stream_step = jax.jit(
+        functools.partial(codec_mod.decode_stream, cfg=voc.cfg),
+        donate_argnames=("state",))
+    codes8 = jnp.zeros((1, 8, cfg.codec.num_quantizers), jnp.int32)
+
+    def voc_stream():
+        nonlocal vstate
+        wav, vstate = stream_step(voc.params, state=vstate, codes=codes8)
+        return wav
+
+    t_voc_stream = timeit(voc_stream, max(4, args.iters // 4), pipeline=True)
+    log(f"vocoder stream(8): {t_voc_stream*1e3:.2f} ms "
+        f"(window33: {t_voc*1e3:.2f})")
 
     talker_gb = tree_bytes(params["talker"]["blocks"]) / 1e9
     pred_frame_gb = (tree_bytes(params["predictor"]["blocks"]) * 15
@@ -184,6 +200,7 @@ def main():
         "fused_step_ms": round(t_step * 1e3, 3),
         "chunk16_per_step_ms": round(t_chunk16 * 1e3, 3),
         "vocoder_window33_ms": round(t_voc * 1e3, 3),
+        "vocoder_stream8_ms": round(t_voc_stream * 1e3, 3),
         "talker_weight_GB_per_step": round(talker_gb, 3),
         "predictor_weight_GB_per_frame": round(pred_frame_gb, 3),
         "talker_achieved_GBps": round(talker_gb / t_talker, 1),
