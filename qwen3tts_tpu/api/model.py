@@ -515,8 +515,9 @@ class FasterQwen3TTS:
                       first_chunks=()):
         if not parity_mode:
             # fused decode+vocode device program: one dispatch + one fetch
-            # per audio chunk (Engine.chunk_vocode); sample-exact vs the
-            # StreamDecoder path (same window layout, strict causality)
+            # per audio chunk (Engine.chunk_vocode), with the STATEFUL codec
+            # stream — sample-exact vs a full decode (the old 25-frame
+            # window scheme was only approximately exact)
             for _codes, audio, timing in loops.fast_generate_streaming_audio(
                 self.engine, self.vocoder, embeds, trailing, tpe,
                 key=self._next_key(), max_new_tokens=max_new_tokens,

@@ -59,6 +59,15 @@ class Vocoder:
             functools.partial(codec_lib.decode, cfg=cfg)
         )
         self._encode_jit = jax.jit(functools.partial(codec_lib.encode, cfg=cfg))
+        # stateful-streaming executables are SHARED across all consumers
+        # (StatefulStreamDecoder instances, Engine.chunk_vocode priming):
+        # per-instance jits would re-trace/recompile on every serving-request
+        # admission and grow executable memory without bound
+        self._stream_step_jit = jax.jit(
+            functools.partial(codec_lib.decode_stream, cfg=cfg),
+            donate_argnames=("state",))
+        self._stream_init_jit = jax.jit(
+            lambda: codec_lib.stream_init(self.params, cfg, 1))
 
     # -- full (bucketed) decode, non-streaming ---------------------------
     def decode(self, codes: np.ndarray) -> np.ndarray:
@@ -78,6 +87,37 @@ class Vocoder:
         """Exact streaming decoder carrying codec state (no context window);
         see StatefulStreamDecoder."""
         return StatefulStreamDecoder(self)
+
+    # feed-size buckets for arbitrary-length streaming feeds: greedy
+    # decomposition bounds compile count while keeping dispatch count low
+    # for long reference primings
+    STREAM_FEED_SIZES = (64, 32, 16, 8, 4, 2, 1)
+
+    def stream_state(self):
+        """Fresh codec streaming state (one fused device program)."""
+        return self._stream_init_jit()
+
+    def stream_feed(self, state, codes: np.ndarray, collect_audio: bool = True):
+        """Feed frames through the streaming state in bounded-shape chunks.
+        Returns (audio float32 [n*spf] or None, state').  With
+        ``collect_audio=False`` nothing is fetched to the host — the
+        dispatches pipeline asynchronously (ICL priming discards audio)."""
+        codes = np.asarray(codes, np.int32)
+        n = len(codes)
+        outs = []
+        i = 0
+        while i < n:
+            step = next(s for s in self.STREAM_FEED_SIZES if s <= n - i)
+            wav, state = self._stream_step_jit(
+                self.params, state=state,
+                codes=jnp.asarray(codes[None, i:i + step]))
+            if collect_audio:
+                outs.append(wav)
+            i += step
+        if not collect_audio:
+            return None, state
+        return (np.concatenate([np.asarray(w[0]) for w in outs])
+                if outs else np.zeros((0,), np.float32)), state
 
     # -- encode ---------------------------------------------------------
     def encode(self, wav: np.ndarray) -> np.ndarray:
@@ -147,31 +187,14 @@ class StatefulStreamDecoder:
     exceeds the 25-frame context).
 
     Drop-in for StreamDecoder.feed(); compile count is bounded by chunking
-    arbitrary feeds into a fixed size set."""
-
-    FEED_SIZES = (8, 4, 2, 1)
+    arbitrary feeds into a fixed size set.  All executables are shared at
+    the Vocoder level — constructing instances is free."""
 
     def __init__(self, vocoder: Vocoder):
         self.v = vocoder
-        self._step = jax.jit(
-            functools.partial(codec_lib.decode_stream, cfg=vocoder.cfg),
-            donate_argnames=("state",))
-        self._init = jax.jit(
-            lambda: codec_lib.stream_init(vocoder.params, vocoder.cfg, 1))
-        self.state = self._init()
+        self.state = vocoder.stream_state()
 
     def feed(self, new_codes: np.ndarray) -> np.ndarray:
-        n = len(new_codes)
-        if n == 0:
-            return np.zeros((0,), np.float32)
-        codes = np.asarray(new_codes, np.int32)
-        outs = []
-        i = 0
-        while i < n:
-            step = next(s for s in self.FEED_SIZES if s <= n - i)
-            wav, self.state = self._step(
-                self.v.params, state=self.state,
-                codes=jnp.asarray(codes[None, i:i + step]))
-            outs.append(np.asarray(wav[0]))
-            i += step
-        return np.concatenate(outs)
+        audio, self.state = self.v.stream_feed(self.state, new_codes,
+                                               collect_audio=True)
+        return audio

@@ -513,20 +513,25 @@ def stream_init(params: Params, cfg: CodecConfig, batch: int = 1) -> Dict:
     W = cfg.sliding_window
     KVH, D = cfg.num_key_value_heads, cfg.head_dim
     L = len(dec["pre_transformer"])
+    # every carry length derives from the ACTUAL weight shapes — a
+    # checkpoint with different kernel widths gets correct state, not an
+    # opaque shape error deep inside decode_stream
     st: Dict = {
         "frame0": jnp.int32(0),
         "xf_k": [jnp.zeros((batch, W - 1, KVH, D), dt) for _ in range(L)],
         "xf_v": [jnp.zeros((batch, W - 1, KVH, D), dt) for _ in range(L)],
         "up": [],
-        "dec_in": jnp.zeros((batch, 6, H), dt),
+        "dec_in": jnp.zeros(
+            (batch, dec["dec_in"]["w"].shape[0] - 1, H), dt),
         "blocks": [],
         "out": None,
     }
     for stg, r in zip(dec["upsample"], cfg.upsampling_ratios):
         K = stg["tconv"]["w"].shape[0]
+        Kd = stg["convnext"]["dw"]["w"].shape[0]
         st["up"].append({
             "tail": jnp.zeros((batch, K - r, H), jnp.float32),
-            "cnx": jnp.zeros((batch, 6, H), dt),
+            "cnx": jnp.zeros((batch, Kd - 1, H), dt),
         })
     dim = cfg.decoder_dim
     for blk, rate in zip(dec["blocks"], cfg.upsample_rates):
@@ -534,10 +539,15 @@ def stream_init(params: Params, cfg: CodecConfig, batch: int = 1) -> Dict:
         K = blk["tconv"]["w"].shape[0]
         st["blocks"].append({
             "tail": jnp.zeros((batch, K - rate, out_dim), jnp.float32),
-            "units": [jnp.zeros((batch, 6 * d, out_dim), dt) for d in (1, 3, 9)],
+            "units": [
+                jnp.zeros(
+                    (batch, (u["conv1"]["w"].shape[0] - 1) * d, out_dim), dt)
+                for u, d in zip(blk["units"], (1, 3, 9))
+            ],
         })
         dim = out_dim
-    st["out"] = jnp.zeros((batch, 6, dim), dt)
+    st["out"] = jnp.zeros(
+        (batch, dec["dec_out"]["w"].shape[0] - 1, dim), dt)
     return st
 
 

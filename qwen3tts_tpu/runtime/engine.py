@@ -513,42 +513,19 @@ class Engine:
                        donate_argnames=("state", "voc_state"))
 
     def vocode_stream_init(self, vocoder):
-        """Fresh device-side codec streaming state (models/codec.py).
+        """Fresh device-side codec streaming state — one fused program
+        (eager per-buffer allocation of the ~30 state tensors cost a tunnel
+        round trip each, measured +85 ms of TTFA).  The executable lives on
+        the Vocoder and is shared by every consumer."""
+        return vocoder.stream_state()
 
-        Jitted into ONE program: stream_init allocates ~30 small buffers,
-        and eager per-buffer dispatch costs a tunnel round trip each —
-        measured +85 ms of TTFA before this was fused.  (stream_init reads
-        params only for shapes/dtypes, so the closure bakes no weights.)"""
-        from ..models import codec as codec_lib
-
-        cache = getattr(self, "_voc_init_cache", None)
-        if cache is None:
-            cache = self._voc_init_cache = {}
-        fn = cache.get(id(vocoder))
-        if fn is None:
-            fn = cache[id(vocoder)] = jax.jit(
-                lambda: codec_lib.stream_init(vocoder.params, vocoder.cfg, 1))
-        return fn()
-
-    def vocode_prime(self, vocoder, voc_state, codes: np.ndarray,
-                     chunk_sizes=(8, 4, 2, 1)):
+    def vocode_prime(self, vocoder, voc_state, codes: np.ndarray):
         """Feed reference codec codes (ICL voice clone) through the stream
-        state, discarding audio.  Chunks the feed with a fixed size set so
-        compile count stays bounded regardless of the reference length."""
-        from ..models import codec as codec_lib
-
-        if not hasattr(self, "_vocode_prime_jit"):
-            self._vocode_prime_jit = jax.jit(
-                functools.partial(codec_lib.decode_stream, cfg=vocoder.cfg),
-                donate_argnames=("state",))
-        codes = np.asarray(codes, np.int32)
-        i = 0
-        while i < len(codes):
-            step = next(s for s in chunk_sizes if s <= len(codes) - i)
-            _, voc_state = self._vocode_prime_jit(
-                vocoder.params, state=voc_state,
-                codes=jnp.asarray(codes[None, i:i + step]))
-            i += step
+        state, discarding audio.  Bounded-shape chunking and the shared
+        executables live on the Vocoder (stream_feed); audio is never
+        fetched, so the priming dispatches pipeline asynchronously."""
+        _, voc_state = vocoder.stream_feed(voc_state, codes,
+                                           collect_audio=False)
         return voc_state
 
     def chunk_vocode(self, vocoder, state, tth, tth_len, tpe, policy,
@@ -563,10 +540,15 @@ class Engine:
         cache = getattr(self, "_chunk_vocode_cache", None)
         if cache is None:
             cache = self._chunk_vocode_cache = {}
+        # the cache entry holds a strong ref to the vocoder: id() keys are
+        # only unique while the object is alive, and the compiled fn has the
+        # vocoder's cfg baked in
         ck = (id(vocoder), chunk_size)
-        fn = cache.get(ck)
-        if fn is None:
-            fn = cache[ck] = self._build_chunk_vocode(vocoder, chunk_size)
+        entry = cache.get(ck)
+        if entry is None or entry[0] is not vocoder:
+            entry = cache[ck] = (vocoder,
+                                 self._build_chunk_vocode(vocoder, chunk_size))
+        fn = entry[1]
         return fn(
             self.talker_params, self.predictor_params, vocoder.params, state,
             tth, self._tth_len_vec(tth_len), tpe, knobs, voc_state,
