@@ -23,7 +23,9 @@ def _load_model(args):
 
     t0 = time.time()
     model = FasterQwen3TTS.from_pretrained(
-        args.model, dtype=args.dtype, max_seq_len=args.max_seq_len, seed=args.seed
+        args.model, dtype=args.dtype, max_seq_len=args.max_seq_len,
+        seed=args.seed, quantize=getattr(args, "quantize", None),
+        kv_quant=getattr(args, "kv_quant", False),
     )
     print(f"Model loaded in {time.time()-t0:.1f}s", file=sys.stderr)
     return model
@@ -224,6 +226,11 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--dtype", default="bf16", choices=["bf16", "fp16", "fp32",
                                                             "bfloat16", "float16", "float32"])
         sp.add_argument("--max-seq-len", type=int, default=2048)
+        sp.add_argument("--quantize", default=None, choices=["int8", "w8a8"],
+                        help="int8 weight-only / native-int8-MXU decode "
+                        "(v5e: ~18.8x realtime streaming vs 13.9 bf16)")
+        sp.add_argument("--kv-quant", action="store_true",
+                        help="int8 KV cache (halves KV memory)")
         sp.add_argument("--seed", type=int, default=0)
         sp.add_argument("--language", default="English")
         sp.add_argument("--streaming", action="store_true")

@@ -54,9 +54,11 @@ def _wav_bytes(audio: np.ndarray, sr: int) -> bytes:
 
 
 class DemoState:
-    def __init__(self, models, dtype="bf16"):
+    def __init__(self, models, dtype="bf16", quantize=None, kv_quant=False):
         self.available_models = models
         self.dtype = dtype
+        self.quantize = quantize
+        self.kv_quant = kv_quant
         self.model_cache: "collections.OrderedDict[str, object]" = collections.OrderedDict()
         self.cache_lock = threading.Lock()
         self.gen_lock = threading.Lock()
@@ -92,7 +94,9 @@ class DemoState:
                 return self.model_cache[name]
             self.loading = name
         try:
-            model = FasterQwen3TTS.from_pretrained(name, dtype=self.dtype)
+            model = FasterQwen3TTS.from_pretrained(
+                name, dtype=self.dtype, quantize=self.quantize,
+                kv_quant=self.kv_quant)
         finally:
             self.loading = None
         with self.cache_lock:
@@ -324,8 +328,10 @@ def make_handler(state: DemoState, index_html: Path):
     return Handler
 
 
-def serve(models=None, dtype="bf16", host="0.0.0.0", port=7860, asr=None):
-    state = DemoState(models or DEFAULT_MODELS, dtype)
+def serve(models=None, dtype="bf16", host="0.0.0.0", port=7860, asr=None,
+          quantize=None, kv_quant=False):
+    state = DemoState(models or DEFAULT_MODELS, dtype, quantize=quantize,
+                      kv_quant=kv_quant)
     state.asr = asr
     index = Path(__file__).parent / "demo" / "index.html"
     httpd = ThreadingHTTPServer((host, port), make_handler(state, index))
@@ -353,6 +359,8 @@ def main(argv=None):
     p = argparse.ArgumentParser(description="Qwen3-TTS TPU web demo")
     p.add_argument("--models", nargs="*", default=DEFAULT_MODELS)
     p.add_argument("--dtype", default="bf16")
+    p.add_argument("--quantize", default=None, choices=["int8", "w8a8"])
+    p.add_argument("--kv-quant", action="store_true")
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=7860)
     p.add_argument("--asr", default=None,
@@ -360,7 +368,8 @@ def main(argv=None):
                         "(audio_f32, sr) -> str; /transcribe returns 501 without it")
     args = p.parse_args(argv)
     httpd, _ = serve(args.models, args.dtype, args.host, args.port,
-                     asr=resolve_asr(args.asr))
+                     asr=resolve_asr(args.asr), quantize=args.quantize,
+                     kv_quant=args.kv_quant)
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:

@@ -229,6 +229,10 @@ def main(argv=None):
     p.add_argument("--dtype", default="bf16")
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--quantize", default=None, choices=["int8", "w8a8"],
+                   help="int8 decode modes (see README)")
+    p.add_argument("--kv-quant", action="store_true",
+                   help="int8 KV cache (serving-batch memory headroom)")
     p.add_argument("--voices", default=None, help="voices.json registry")
     p.add_argument("--ref-audio", default=None, help="single default voice")
     p.add_argument("--ref-text", default="")
@@ -245,7 +249,9 @@ def main(argv=None):
 
     from ..api.model import FasterQwen3TTS
 
-    model = FasterQwen3TTS.from_pretrained(args.model, dtype=args.dtype)
+    model = FasterQwen3TTS.from_pretrained(
+        args.model, dtype=args.dtype, quantize=args.quantize,
+        kv_quant=args.kv_quant)
     if args.warmup_all:
         logger.info("warming all compile buckets (one-time; persistent-cached)...")
         model.warmup_all(chunk_sizes=(args.chunk_size, 16))
