@@ -92,3 +92,26 @@ def test_w8a8_bundle_generates(tiny_cfg, ref_wav):
         "Quantized.", "English", ref_wav, "r", max_new_tokens=6)
     assert len(audio_list[0]) % 2000 == 0
     assert np.isfinite(audio_list[0]).all()
+
+
+def test_int8_plus_kv_quant_streams(tiny_cfg, ref_wav):
+    """Full API with BOTH int8 weights and the int8 KV cache: non-streaming
+    and fused-streaming generation produce finite, frame-aligned audio
+    (covers the kv_quant plumb through from_pretrained → Engine → the
+    fused chunk+vocode program)."""
+    import numpy as np
+
+    from qwen3tts_tpu import FasterQwen3TTS
+
+    m = FasterQwen3TTS.from_pretrained("random:tiny", quantize="int8",
+                                       kv_quant=True)
+    assert m.engine.kv_quant
+    audio_list, sr = m.generate_voice_clone(
+        "Quantized everything.", "English", ref_wav, "r", max_new_tokens=6)
+    assert np.isfinite(audio_list[0]).all()
+    chunks = [a for a, _, _ in m.generate_voice_clone_streaming(
+        "Quantized everything.", "English", ref_wav, "r",
+        max_new_tokens=8, chunk_size=4)]
+    total = sum(len(a) for a in chunks)
+    assert total % 2000 == 0 and total > 0
+    assert all(np.isfinite(a).all() for a in chunks)
