@@ -111,11 +111,14 @@ def make_handler(state: TTSState):
         # ---- routes ----
         def do_GET(self):
             if self.path == "/health":
-                body = json.dumps({
+                payload = {
                     "status": "ok",
                     "voices": sorted(state.registry.voices),
                     "default_voice": state.registry.default,
-                }).encode()
+                }
+                if state.batcher is not None:
+                    payload["scheduler"] = state.batcher.stats
+                body = json.dumps(payload).encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(body)))
@@ -152,6 +155,7 @@ def make_handler(state: TTSState):
 
             language = req.get("language", "English")
             sr = state.model.sample_rate
+            handle = None  # continuous-batching stream handle, for cancel
             try:
                 ctype = {"wav": "audio/wav", "pcm": "audio/pcm",
                          "mp3": "audio/mpeg"}[fmt]
@@ -193,10 +197,17 @@ def make_handler(state: TTSState):
                 if encoder is not None:
                     self._write_chunk(encoder.flush())
                 self._end_chunked()
-            except BrokenPipeError:
+            except ConnectionError:  # BrokenPipe / ConnectionReset
                 logger.info("client disconnected mid-stream")
-            except Exception as e:  # pragma: no cover — surfaced to client
+                if handle is not None:
+                    # release the batch row — otherwise the dead request
+                    # keeps generating to max_new_tokens and, once its
+                    # queue fills, stalls every request sharing the batch
+                    handle.cancel()
+            except Exception:  # pragma: no cover — surfaced to client
                 logger.exception("generation failed")
+                if handle is not None:
+                    handle.cancel()
                 try:
                     self._write_chunk(b"")
                     self._end_chunked()

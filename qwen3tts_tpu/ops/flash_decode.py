@@ -141,6 +141,11 @@ def _kernel(
         m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
         corr = jnp.exp(m_prev - m_new)  # [KVH, G, 1]
         p = jnp.exp(scores - m_new)  # [KVH, G, BS]
+        # NEG_INF is a finite sentinel: in a fully-masked block m_new ==
+        # NEG_INF and exp(0) == 1 would count every masked slot in the
+        # denominator.  Zero them so an all-masked row truly accumulates
+        # l == 0 and hits the divide guard below.
+        p = jnp.where(scores > NEG_INF * 0.5, p, 0.0)
 
         l_prev = l_scr[:, :, 0:1]
         l_scr[...] = jnp.broadcast_to(l_prev * corr + jnp.sum(p, -1, keepdims=True),
@@ -156,8 +161,8 @@ def _kernel(
         return 0
 
     jax.lax.fori_loop(i0, nb, body, 0)
-    # max(denom, tiny): a fully-padded row (zero live slots) divides 0/0
-    # otherwise and NaNs would leak into its (ignored) lane
+    # a fully-padded row (zero live slots) accumulates l == 0 (masked p is
+    # zeroed above); max(denom, tiny) turns its 0/0 into 0 instead of NaN
     o_ref[0] = (acc_scr[...] / jnp.maximum(l_scr[:, :, 0:1], 1e-30)
                 ).astype(o_ref.dtype)
 

@@ -111,7 +111,8 @@ class ContinuousBatcher:
         self.knobs = make_knobs(self.policy, self.pred_policy)
         self._pending: "queue.Queue[_Request]" = queue.Queue()
         self._stop = threading.Event()
-        self._stats = {"served": 0, "joined_mid_batch": 0, "batches": 0}
+        self._stats = {"served": 0, "joined_mid_batch": 0, "batches": 0,
+                       "cancelled": 0, "active_rows": 0}
         self._worker = threading.Thread(
             target=self._run, name="continuous-batcher", daemon=True)
         self._worker.start()
@@ -275,8 +276,11 @@ class ContinuousBatcher:
                     self._emit(req, frames_np[b, :take])
                 over_budget = req.steps >= req.max_new_tokens
                 if bool(row_done[b]) or over_budget or req.cancelled:
-                    if over_budget and not bool(row_done[b]):
-                        force_done[b] = True  # stop wasting steps on it
+                    if not bool(row_done[b]):
+                        # over-budget OR cancelled: mark done on device too,
+                        # so the row stops burning decode steps and the
+                        # all-done early exit can trigger
+                        force_done[b] = True
                     self._finish_request(req)
                     rows[b] = None
             if force_done.any():
@@ -315,6 +319,7 @@ class ContinuousBatcher:
                 self._stats["joined_mid_batch"] += 1
                 admitted = True
 
+            self._stats["active_rows"] = sum(r is not None for r in rows)
             live = any(r is not None for r in rows)
             if pos >= limit and live:
                 # bounded-window truncation (same contract as batch-1)
@@ -325,6 +330,7 @@ class ContinuousBatcher:
                 live = False
             if not live and not admitted:
                 eng.release(state)
+                self._stats["active_rows"] = 0
                 return
 
     # ---- per-request helpers
@@ -336,6 +342,8 @@ class ContinuousBatcher:
             req.sd.feed(req.ref_codes)  # prime ICL acoustic context
 
     def _emit(self, req: _Request, frames: np.ndarray):
+        if req.cancelled:
+            return  # dead consumer — never block the batch on its queue
         audio = req.sd.feed(frames)
         req.steps += len(frames)
         timing = {
@@ -350,12 +358,48 @@ class ContinuousBatcher:
         req.chunk_index += 1
         try:
             req.out_q.put((audio, timing), timeout=5.0)
-        except queue.Full:  # slow client: drop — the stream stays ordered
-            logger.warning("dropping audio chunk for slow consumer")
+        except queue.Full:
+            # A persistently full queue means the consumer stopped pulling.
+            # Dropping mid-stream chunks would hand the client gapped PCM
+            # with no error, so fail the stream instead: cancel the request
+            # (the row is retired at the next chunk boundary) and deliver
+            # the error in place of audio.
+            self._fail(req, RuntimeError(
+                "stream consumer stalled (audio queue full for 5s); "
+                "request cancelled"))
+
+    def _fail(self, req: _Request, exc: Exception):
+        """Cancel ``req`` and deliver ``exc`` promptly, dropping any audio
+        still queued so a stalled consumer sees the failure, not stale
+        chunks.  Never blocks."""
+        req.cancelled = True
+        self._stats["cancelled"] += 1
+        while True:
+            try:
+                req.out_q.get_nowait()
+            except queue.Empty:
+                break
+        try:
+            req.out_q.put_nowait(exc)
+        except queue.Full:  # pragma: no cover — racing consumer refilled it
+            pass
 
     def _finish_request(self, req: _Request):
         self._stats["served"] += 1
-        req.out_q.put(_SENTINEL)
+        try:
+            req.out_q.put(_SENTINEL, timeout=1.0)
+        except queue.Full:
+            # dead consumer: make room so the terminator still lands and
+            # the worker never blocks on retirement
+            while True:
+                try:
+                    req.out_q.get_nowait()
+                except queue.Empty:
+                    break
+            try:
+                req.out_q.put_nowait(_SENTINEL)
+            except queue.Full:  # pragma: no cover
+                pass
 
     def _peek_admissible(self, pos: int, limit: int) -> Optional[_Request]:
         """Pop the next pending request admissible at cache position ``pos``:
