@@ -211,6 +211,16 @@ def cmd_check_fixture(args):
     sys.exit(1 if failed else 0)
 
 
+def cmd_check_checkpoint(args):
+    """Dry-run the torch-layout conversion and print the full diagnostic
+    report (RUNBOOK.md step 2); exit 1 on any problem."""
+    from ..core.loader import diagnose_torch_checkpoint
+
+    report = diagnose_torch_checkpoint(args.checkpoint)
+    print(report.summary(limit=args.limit))
+    sys.exit(0 if report.ok else 1)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="qwen3tts-tpu",
@@ -297,6 +307,15 @@ def build_parser() -> argparse.ArgumentParser:
     common(cf)
     cf.add_argument("fixtures", nargs="+")
     cf.set_defaults(fn=cmd_check_fixture)
+
+    cc = sub.add_parser(
+        "check-checkpoint",
+        help="diagnose an upstream torch-layout checkpoint dir: report "
+             "unmatched/missing/mis-shaped tensors without loading the model")
+    cc.add_argument("checkpoint")
+    cc.add_argument("--limit", type=int, default=30,
+                    help="max names listed per report section")
+    cc.set_defaults(fn=cmd_check_checkpoint)
     return p
 
 

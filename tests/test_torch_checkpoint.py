@@ -97,6 +97,87 @@ def test_missing_half_raises(bundles, tmp_path):
         loader.load_checkpoint(d)
 
 
+def test_strict_mode_reports_exact_names(bundles, tmp_path):
+    """VERDICT r2 item 1: a deliberately renamed + missing-tensor checkpoint
+    must fail with an actionable diagnostic listing the exact names."""
+    from safetensors.numpy import save_file
+
+    cfg, host, _, _ = bundles
+    named = loader.export_torch_layout(host, cfg)
+    # deliberately break it: drop one per-layer tensor, rename another to
+    # something no alias rule can fix
+    missing_name = "talker.model.layers.1.self_attn.q_proj.weight"
+    renamed_src = "talker.model.layers.0.mlp.gate_proj.weight"
+    named["talker.bogus_unknown.weight"] = named.pop(renamed_src)
+    del named[missing_name]
+    d = tmp_path / "broken"
+    d.mkdir()
+    (d / "config.json").write_text(json.dumps(cfg.to_hf_dict()))
+    save_file({k: np.ascontiguousarray(v) for k, v in named.items()},
+              str(d / "model.safetensors"))
+    with pytest.raises(ValueError) as ei:
+        loader.load_checkpoint(d)  # strict by default for torch layout
+    msg = str(ei.value)
+    assert missing_name in msg
+    assert renamed_src in msg  # reported as the missing per-layer tensor
+    assert "talker.bogus_unknown.weight" in msg  # unmatched source
+    assert "RUNBOOK.md" in msg
+    # non-strict still refuses nothing structural but logs; the model loads
+    # only if all four groups exist — here they do, but blocks are partial,
+    # so conversion drops the stack and unfilled targets are reported
+    report = loader.diagnose_torch_checkpoint(d)
+    assert not report.ok
+    assert missing_name in report.missing_layer_tensors
+    assert "talker.bogus_unknown.weight" in report.unmatched_sources
+    assert any(t.startswith("talker/blocks/") for t in report.missing_targets)
+
+
+def test_alias_table_normalizes_variant_names(bundles, tmp_path):
+    """Plausible upstream naming variants (wrapping 'model.' prefix,
+    'lm_head' for codec_head, ...) load identically through the alias
+    tables, and the rename log records each fix."""
+    from safetensors.numpy import save_file
+
+    cfg, host, canon, _ = bundles
+    named = loader.export_torch_layout(host, cfg)
+    variant = {}
+    for k, v in named.items():
+        if k == "talker.codec_head.weight":
+            k = "talker.lm_head.weight"  # exact alias
+        elif k.startswith("speech_tokenizer."):
+            k = "speech_tokenizer.model." + k[len("speech_tokenizer."):]
+        elif k.startswith("speaker_encoder."):
+            k = "spk_encoder." + k[len("speaker_encoder."):]
+        else:
+            k = "model." + k  # whole-model wrapper prefix
+        variant[k] = v
+    d = tmp_path / "variant"
+    d.mkdir()
+    (d / "config.json").write_text(json.dumps(cfg.to_hf_dict()))
+    save_file({k: np.ascontiguousarray(v) for k, v in variant.items()},
+              str(d / "model.safetensors"))
+    report = loader.diagnose_torch_checkpoint(d)
+    assert report.ok, report.summary()
+    assert report.renamed["talker.lm_head.weight"] == "talker.codec_head.weight"
+    assert len(report.renamed) == len(variant)
+    cfg_a, a = loader.load_checkpoint(canon)
+    cfg_b, b = loader.load_checkpoint(d)  # strict passes via aliases
+    _flat_allclose(a, b)
+
+
+def test_check_checkpoint_cli(bundles, capsys):
+    """The check-checkpoint subcommand prints an OK report for a complete
+    torch-layout dir and exits 0."""
+    from qwen3tts_tpu.apps.cli import main
+
+    _, _, _, torch_dir = bundles
+    with pytest.raises(SystemExit) as ei:
+        main(["check-checkpoint", str(torch_dir)])
+    assert ei.value.code == 0
+    out = capsys.readouterr().out
+    assert "OK" in out and "matched" in out
+
+
 def test_model_size_normalization():
     assert normalize_model_size("0b6") == "0.6b"
     assert normalize_model_size("0.6B") == "0.6b"
