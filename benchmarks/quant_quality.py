@@ -1,0 +1,100 @@
+"""Quantization quality gate: bf16 vs int8 / w8a8 / kv_quant fidelity.
+
+The speed headlines for the int8 modes live in bench_results_tpu_int8.json /
+_w8a8.json; this bench adds the missing axis (VERDICT r2 item 3): same
+weights, same seed, greedy codebook-0, fixed length — then waveform SNR,
+log-mel distance, and codec-token agreement of each quantized mode against
+the bf16 run.  With ``--update-artifacts`` the ``quality_vs_bf16`` record is
+patched into the existing speed-artifact JSONs so the README's int8 claims
+can cite fidelity next to RTF.
+
+Reference analog: committed parity sample WAVs + seeds
+(samples/parity/README.md) — here made numeric and assertable.
+"""
+from __future__ import annotations
+
+import argparse
+import gc
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+from common import (LANGUAGE, TEXT, load_model, make_ref_audio,  # noqa: E402
+                    model_name, write_results)
+
+from qwen3tts_tpu.utils.quality import (  # noqa: E402
+    fixed_generation, log_mel_distance, token_agreement, waveform_snr_db)
+
+ARTIFACT_FOR_MODE = {
+    "int8": "bench_results_tpu_int8.json",
+    "w8a8": "bench_results_tpu_w8a8.json",
+}
+
+
+def build_model(mode: str):
+    from qwen3tts_tpu import FasterQwen3TTS
+
+    kw = {}
+    if mode in ("int8", "w8a8"):
+        kw["quantize"] = mode
+    elif mode == "kv_quant":
+        kw["kv_quant"] = True
+    elif mode != "bf16":
+        raise ValueError(mode)
+    return FasterQwen3TTS.from_pretrained(model_name(), dtype="bf16", **kw)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=96)
+    ap.add_argument("--seed", type=int, default=1337)
+    ap.add_argument("--modes", default="int8,w8a8,kv_quant")
+    ap.add_argument("--update-artifacts", action="store_true",
+                    help="patch quality_vs_bf16 into the per-mode speed "
+                         "artifact JSONs at the repo root")
+    args = ap.parse_args()
+
+    ref_audio = make_ref_audio()
+    print(f"reference run: bf16 {model_name()} ({args.steps} steps)",
+          file=sys.stderr)
+    m = load_model(dtype="bf16")
+    ids_ref, wav_ref = fixed_generation(
+        m, TEXT, ref_audio, "bench reference", LANGUAGE, args.steps, args.seed)
+    sr = m.sample_rate
+    del m
+    gc.collect()
+
+    results = {}
+    for mode in args.modes.split(","):
+        mode = mode.strip()
+        if not mode:
+            continue
+        print(f"quality run: {mode}", file=sys.stderr)
+        mq = build_model(mode)
+        ids_q, wav_q = fixed_generation(
+            mq, TEXT, ref_audio, "bench reference", LANGUAGE, args.steps,
+            args.seed)
+        rec = {
+            "steps": args.steps,
+            "waveform_snr_db": round(waveform_snr_db(wav_ref, wav_q), 2),
+            "log_mel_dist": round(log_mel_distance(wav_ref, wav_q, sr), 4),
+        }
+        rec.update(token_agreement(ids_ref, ids_q))
+        results[mode] = rec
+        del mq
+        gc.collect()
+
+        if args.update_artifacts and mode in ARTIFACT_FOR_MODE:
+            art = Path(__file__).resolve().parent.parent / ARTIFACT_FOR_MODE[mode]
+            if art.exists():
+                data = json.loads(art.read_text())
+                data["quality_vs_bf16"] = rec
+                art.write_text(json.dumps(data, indent=2))
+                print(f"patched {art.name}", file=sys.stderr)
+
+    write_results("quant_quality", results)
+
+
+if __name__ == "__main__":
+    main()
