@@ -43,6 +43,11 @@ logger = logging.getLogger(__name__)
 
 _SENTINEL = object()
 
+# per-request audio queue depth and how long a full queue may stall the
+# worker before the stream is failed (module-level so tests can shrink them)
+OUT_QUEUE_SIZE = 64
+EMIT_TIMEOUT_S = 5.0
+
 
 @dataclass
 class _Request:
@@ -51,7 +56,8 @@ class _Request:
     tpe: np.ndarray  # [1, 1, H]
     ref_codes: Optional[np.ndarray]
     max_new_tokens: int
-    out_q: "queue.Queue" = field(default_factory=lambda: queue.Queue(maxsize=64))
+    out_q: "queue.Queue" = field(
+        default_factory=lambda: queue.Queue(maxsize=OUT_QUEUE_SIZE))
     submitted_at: float = field(default_factory=time.time)
     started_at: float = 0.0
     sd: object = None  # per-request streaming vocoder
@@ -276,6 +282,8 @@ class ContinuousBatcher:
                     self._emit(req, frames_np[b, :take])
                 over_budget = req.steps >= req.max_new_tokens
                 if bool(row_done[b]) or over_budget or req.cancelled:
+                    if req.cancelled:
+                        self._stats["cancelled"] += 1
                     if not bool(row_done[b]):
                         # over-budget OR cancelled: mark done on device too,
                         # so the row stops burning decode steps and the
@@ -357,7 +365,7 @@ class ContinuousBatcher:
             timing["ttfa_ms"] = (time.time() - req.submitted_at) * 1000.0
         req.chunk_index += 1
         try:
-            req.out_q.put((audio, timing), timeout=5.0)
+            req.out_q.put((audio, timing), timeout=EMIT_TIMEOUT_S)
         except queue.Full:
             # A persistently full queue means the consumer stopped pulling.
             # Dropping mid-stream chunks would hand the client gapped PCM
@@ -373,7 +381,6 @@ class ContinuousBatcher:
         still queued so a stalled consumer sees the failure, not stale
         chunks.  Never blocks."""
         req.cancelled = True
-        self._stats["cancelled"] += 1
         while True:
             try:
                 req.out_q.get_nowait()
@@ -387,15 +394,14 @@ class ContinuousBatcher:
     def _finish_request(self, req: _Request):
         self._stats["served"] += 1
         try:
-            req.out_q.put(_SENTINEL, timeout=1.0)
+            req.out_q.put(_SENTINEL, timeout=EMIT_TIMEOUT_S)
         except queue.Full:
-            # dead consumer: make room so the terminator still lands and
-            # the worker never blocks on retirement
-            while True:
-                try:
-                    req.out_q.get_nowait()
-                except queue.Empty:
-                    break
+            # consumer stopped pulling right at retirement: fail the stream
+            # explicitly (an error the client sees beats silently-dropped
+            # audio) and make sure the terminator still lands — the worker
+            # must never block on a dead consumer
+            self._fail(req, RuntimeError(
+                "stream consumer stalled at end of stream"))
             try:
                 req.out_q.put_nowait(_SENTINEL)
             except queue.Full:  # pragma: no cover

@@ -94,6 +94,137 @@ def test_cancel_stops_stream_early(batcher, ref_wav):
     assert 0 < total < 40 * batcher.model.vocoder.spf
 
 
+def test_cancel_releases_row_for_pending_request(tiny_tts, ref_wav):
+    """Cancelling a running request frees its row (and marks it done on
+    DEVICE — ADVICE r2: cancelled rows must not keep burning decode steps),
+    so a queued request gets served without waiting out the budget."""
+    spf = tiny_tts.vocoder.spf
+    b = ContinuousBatcher(tiny_tts, max_batch=1, chunk_size=8,
+                          max_new_tokens=400, policy=NO_EOS)
+    try:
+        ha = b.submit("A very long utterance to be cancelled.", "English",
+                      ref_wav, "ref")
+        it = ha.chunks()
+        next(it)  # A is definitely occupying the only row
+        hb = b.submit("Short follower.", "English", ref_wav, "ref",
+                      max_new_tokens=16)
+        ha.cancel()
+        wav_b = _collect(hb)  # must complete — the row was released
+        assert len(wav_b) == 16 * spf
+        for _ in it:  # drain A to its sentinel
+            pass
+        assert b.stats["cancelled"] == 1
+        assert b.stats["served"] == 2
+    finally:
+        b.close()
+
+
+def test_pending_requests_admitted_fifo(tiny_tts, ref_wav):
+    """When every row is busy, queued requests are admitted in submission
+    order (the scheduler peeks/pops the pending queue FIFO)."""
+    b = ContinuousBatcher(tiny_tts, max_batch=1, chunk_size=4,
+                          max_new_tokens=12, policy=NO_EOS)
+    try:
+        ha = b.submit("Occupies the row.", "English", ref_wav, "ref")
+        hc = b.submit("Queued first.", "English", ref_wav, "ref")
+        hd = b.submit("Queued second.", "English", ref_wav, "ref")
+        results = {}
+        threads = [
+            threading.Thread(target=lambda n, h: results.__setitem__(n, _collect(h)),
+                             args=(n, h))
+            for n, h in (("a", ha), ("c", hc), ("d", hd))
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        assert sorted(results) == ["a", "c", "d"]
+        assert 0 < hc._req.started_at < hd._req.started_at
+    finally:
+        b.close()
+
+
+def test_join_during_final_chunk(tiny_tts, ref_wav):
+    """A request submitted while the current batch is inside its FINAL chunk
+    is still served (either by joining that batch or by a fresh one) with the
+    exact requested length."""
+    spf = tiny_tts.vocoder.spf
+    b = ContinuousBatcher(tiny_tts, max_batch=2, chunk_size=8,
+                          max_new_tokens=16, policy=NO_EOS)
+    try:
+        ha = b.submit("Two chunk utterance.", "English", ref_wav, "ref")
+        it = ha.chunks()
+        next(it)  # chunk 1 of 2 received → the batch is in its final chunk
+        hb = b.submit("Late joiner.", "English", ref_wav, "ref")
+        wav_b = _collect(hb)
+        rest = sum(len(a) for a, _, _ in it)
+        assert rest + 8 * spf == 16 * spf
+        assert len(wav_b) == 16 * spf
+        assert b.stats["served"] == 2
+    finally:
+        b.close()
+
+
+def test_eight_concurrent_mixed_lengths(tiny_tts, ref_wav):
+    """8 concurrent requests with mixed text/budget lengths through a 4-row
+    batch: every stream completes with exactly its own budget of audio."""
+    spf = tiny_tts.vocoder.spf
+    b = ContinuousBatcher(tiny_tts, max_batch=4, chunk_size=4,
+                          max_new_tokens=64, policy=NO_EOS)
+    try:
+        lengths = [8, 12, 16, 8, 20, 12, 8, 16]
+        handles = [
+            b.submit(f"Mixed load utterance number {i} with extra words " +
+                     "padding " * (i % 3), "English", ref_wav, "ref",
+                     max_new_tokens=n)
+            for i, n in enumerate(lengths)
+        ]
+        outs = {}
+        threads = [
+            threading.Thread(target=lambda i, h: outs.__setitem__(i, _collect(h)),
+                             args=(i, h))
+            for i, h in enumerate(handles)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        assert sorted(outs) == list(range(8))
+        for i, n in enumerate(lengths):
+            assert len(outs[i]) == n * spf, (i, n, len(outs[i]))
+            assert np.isfinite(outs[i]).all()
+        assert b.stats["served"] == 8
+        assert b.stats["active_rows"] == 0
+    finally:
+        b.close()
+
+
+def test_queue_full_fails_stream_not_drops(tiny_tts, ref_wav, monkeypatch):
+    """ADVICE r2: a consumer that stops pulling must get a FAILED stream
+    (error + prompt retirement), never silently gapped audio."""
+    import qwen3tts_tpu.runtime.scheduler as sched
+
+    monkeypatch.setattr(sched, "OUT_QUEUE_SIZE", 2)
+    monkeypatch.setattr(sched, "EMIT_TIMEOUT_S", 0.2)
+    b = ContinuousBatcher(tiny_tts, max_batch=1, chunk_size=4,
+                          max_new_tokens=200, policy=NO_EOS)
+    try:
+        h = b.submit("A stream nobody reads.", "English", ref_wav, "ref")
+        deadline = time.time() + 120
+        while time.time() < deadline and b.stats["cancelled"] < 1:
+            time.sleep(0.1)
+        assert b.stats["cancelled"] == 1, "stalled stream was never failed"
+        with pytest.raises(RuntimeError, match="stalled"):
+            for _ in h.chunks():
+                pass
+        # the scheduler keeps serving after the failure
+        h2 = b.submit("Healthy follower.", "English", ref_wav, "ref",
+                      max_new_tokens=8)
+        assert len(_collect(h2)) == 8 * b.model.vocoder.spf
+    finally:
+        b.close()
+
+
 def test_timing_contract(batcher, ref_wav):
     h = batcher.submit("Check the timing dict.", "English", ref_wav, "ref",
                        max_new_tokens=16)

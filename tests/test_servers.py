@@ -134,6 +134,65 @@ def test_concurrent_requests_share_batched_engine(oai_server_batched):
     assert state.batcher.stats["served"] == 3
 
 
+def test_health_exposes_scheduler_stats(oai_server_batched):
+    url, state = oai_server_batched
+    with urllib.request.urlopen(url + "/health") as r:
+        body = json.loads(r.read())
+    sched = body["scheduler"]
+    for key in ("served", "joined_mid_batch", "batches", "cancelled",
+                "active_rows", "queue_depth"):
+        assert key in sched, key
+
+
+def test_client_disconnect_cancels_batched_row(tiny_tts, ref_wav, tmp_path):
+    """ADVICE r2 (medium): a client that disconnects mid-stream must have its
+    batch row cancelled — not keep generating to max_new_tokens and stall the
+    shared batch once its queue fills."""
+    import socket
+    import time
+    from http.server import ThreadingHTTPServer
+
+    from qwen3tts_tpu.apps.openai_server import (TTSState, VoiceRegistry,
+                                                 make_handler)
+    from qwen3tts_tpu.runtime.engine import GenerationPolicy
+    from qwen3tts_tpu.runtime.scheduler import ContinuousBatcher
+
+    # EOS suppressed so the request can only end via budget — or the cancel
+    batcher = ContinuousBatcher(
+        tiny_tts, max_batch=2, chunk_size=4, max_new_tokens=2000,
+        policy=GenerationPolicy(do_sample=False, min_new_tokens=10_000))
+    reg = VoiceRegistry.from_args(None, ref_wav, "ref")
+    state = TTSState(tiny_tts, reg, 4, batcher=batcher)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(state))
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        body = json.dumps({"input": "An endless stream to abandon.",
+                           "response_format": "pcm"}).encode()
+        s = socket.create_connection(("127.0.0.1", port), timeout=60)
+        s.sendall(
+            b"POST /v1/audio/speech HTTP/1.1\r\nHost: t\r\n"
+            b"Content-Type: application/json\r\n"
+            + f"Content-Length: {len(body)}\r\n\r\n".encode() + body)
+        assert s.recv(4096)  # headers + first audio bytes are flowing
+        s.close()  # abandon the stream
+
+        deadline = time.time() + 180
+        while time.time() < deadline and batcher.stats["cancelled"] < 1:
+            time.sleep(0.2)
+        assert batcher.stats["cancelled"] == 1, (
+            "disconnect did not cancel the batch row")
+        # the batcher is healthy afterwards: row freed, next request served
+        h = batcher.submit("After the disconnect.", "English", ref_wav, "ref",
+                           max_new_tokens=8)
+        wav = np.concatenate([a for a, _, _ in h.chunks()])
+        assert len(wav) == 8 * tiny_tts.vocoder.spf
+    finally:
+        httpd.shutdown()
+        batcher.close()
+
+
 # ---------------------------------------------------------------------------
 
 
