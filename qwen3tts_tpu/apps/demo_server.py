@@ -340,12 +340,25 @@ def serve(models=None, dtype="bf16", host="0.0.0.0", port=7860, asr=None,
 
 
 def resolve_asr(spec: Optional[str]):
-    """'module:callable' → ASR hook with signature (audio_f32, sr) -> str.
-    The reference wires nano-parakeet here (demo/server.py:44,225-248); in
-    this zero-egress image no ASR weights exist, so the hook is pluggable —
-    any installed ASR becomes one flag away."""
-    if not spec:
+    """ASR hook resolution for /transcribe (reference wires nano-parakeet,
+    demo/server.py:44,225-248).  Accepted specs:
+
+      - ``builtin`` / ``builtin:<model-ref>`` (DEFAULT) — the first-party
+        CTC recognizer (models/asr.py); functions end-to-end today (random
+        weights → garbage-but-working text) and becomes real transcription
+        when a trained checkpoint dir is given as ``<model-ref>``;
+      - ``none`` — disable; /transcribe returns 501;
+      - ``module:callable`` — any external hook ``(audio_f32, sr) -> str``.
+    """
+    if not spec or spec == "none":
         return None
+    if spec == "builtin" or spec.startswith("builtin:"):
+        from ..models.asr import builtin_asr
+
+        _, _, ref = spec.partition(":")
+        hook = builtin_asr(ref or "random:ctc-base")
+        logger.info("builtin CTC ASR registered (%s)", ref or "random:ctc-base")
+        return hook
     import importlib
 
     mod, _, fn = spec.partition(":")
@@ -363,9 +376,10 @@ def main(argv=None):
     p.add_argument("--kv-quant", action="store_true")
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=7860)
-    p.add_argument("--asr", default=None,
-                   help="ASR hook 'module:callable' with signature "
-                        "(audio_f32, sr) -> str; /transcribe returns 501 without it")
+    p.add_argument("--asr", default="builtin",
+                   help="'builtin[:model-ref]' (first-party CTC, default), "
+                        "'none' (501), or 'module:callable' with signature "
+                        "(audio_f32, sr) -> str")
     args = p.parse_args(argv)
     httpd, _ = serve(args.models, args.dtype, args.host, args.port,
                      asr=resolve_asr(args.asr), quantize=args.quantize,
