@@ -86,7 +86,7 @@ def measure_streaming(model, *, chunk_size=8, steps=STEPS, parity=False, **kw):
 
 
 def write_results(name: str, payload: dict):
-    out = Path(f"bench_results_{device_tag()}.json")
+    out = Path(os.environ.get("BENCH_OUT", f"bench_results_{device_tag()}.json"))
     existing = json.loads(out.read_text()) if out.exists() else {}
     existing[name] = payload
     out.write_text(json.dumps(existing, indent=2))

@@ -240,7 +240,16 @@ def make_handler(state: DemoState, index_html: Path):
             chunk_size = int(req.get("chunk_size", 8))
             chunk_size = max(1, min(chunk_size, 24))
             max_new = int(req.get("max_new_tokens", 360))  # 30 s cap (demo)
+            max_new = max(1, min(max_new, 720))
             model = state.get_model(model_name)
+            # sampling knobs (clamped; CLI defaults, cli.py flags)
+            sampling = {
+                "temperature": min(max(float(req.get("temperature", 0.9)), 0.1), 2.0),
+                "top_k": min(max(int(req.get("top_k", 50)), 1), 500),
+                "repetition_penalty": min(max(float(
+                    req.get("repetition_penalty", 1.05)), 1.0), 2.0),
+                "do_sample": not bool(req.get("greedy", False)),
+            }
 
             def run_stream():
                 if mode == "clone":
@@ -251,7 +260,7 @@ def make_handler(state: DemoState, index_html: Path):
                         ref_audio=ref_path, ref_text=req.get("ref_text", ""),
                         chunk_size=chunk_size, max_new_tokens=max_new,
                         xvec_only=bool(req.get("xvec_only", True)),
-                        first_chunks=(2, 4),
+                        first_chunks=(2, 4), **sampling,
                     )
                 if mode == "custom":
                     return model.generate_custom_voice_streaming(
@@ -259,12 +268,14 @@ def make_handler(state: DemoState, index_html: Path):
                         language=req.get("language", "English"),
                         instruct=req.get("instruct") or None,
                         chunk_size=chunk_size, max_new_tokens=max_new,
+                        **sampling,
                     )
                 if mode == "design":
                     return model.generate_voice_design_streaming(
                         text=text, instruct=req.get("instruct", ""),
                         language=req.get("language", "English"),
                         chunk_size=chunk_size, max_new_tokens=max_new,
+                        **sampling,
                     )
                 raise ValueError(f"unknown mode {mode}")
 
