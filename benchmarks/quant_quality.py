@@ -20,6 +20,7 @@ import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from common import (LANGUAGE, TEXT, load_model, make_ref_audio,  # noqa: E402
                     model_name, write_results)
 

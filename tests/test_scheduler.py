@@ -194,6 +194,10 @@ def test_eight_concurrent_mixed_lengths(tiny_tts, ref_wav):
             assert len(outs[i]) == n * spf, (i, n, len(outs[i]))
             assert np.isfinite(outs[i]).all()
         assert b.stats["served"] == 8
+        # the worker zeroes active_rows a moment after the final sentinel
+        deadline = time.time() + 30
+        while time.time() < deadline and b.stats["active_rows"] != 0:
+            time.sleep(0.05)
         assert b.stats["active_rows"] == 0
     finally:
         b.close()
