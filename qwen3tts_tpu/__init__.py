@@ -38,5 +38,5 @@ _enable_compile_cache()
 
 from .api.model import FasterQwen3TTS
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 __all__ = ["FasterQwen3TTS", "__version__"]
