@@ -136,8 +136,17 @@ def main():
     suffix = f"_{args.quantize}" if args.quantize else ""
     if args.quantize:
         details["quantize"] = args.quantize
-    with open(f"bench_results_tpu{suffix}.json", "w") as f:
-        json.dump(details, f, indent=2)
+    # merge-update: keep fields other tools own (e.g. quality_vs_bf16 from
+    # benchmarks/quant_quality.py --update-artifacts)
+    path = f"bench_results_tpu{suffix}.json"
+    try:
+        with open(path) as f:
+            record = json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        record = {}
+    record.update(details)
+    with open(path, "w") as f:
+        json.dump(record, f, indent=2)
 
     print(json.dumps({
         "metric": f"rtf_0.6b_voice_clone{suffix}",

@@ -1,0 +1,125 @@
+"""Serving soak: continuous batching under staggered concurrent load.
+
+The reference serializes requests behind a lock (examples/openai_server.py:71)
+— aggregate throughput equals single-stream throughput.  This bench drives
+the ContinuousBatcher (requests join/leave the RUNNING batch at chunk
+boundaries) with N requests arriving over time and mixed generation lengths,
+and records what a serving operator actually cares about:
+
+  - aggregate frames/s and aggregate RTF (audio seconds per wall second)
+  - per-request TTFA distribution (p50/p95) incl. queue wait
+  - scheduler counters (joined_mid_batch, batches)
+
+Env knobs: MODEL_SIZE, SOAK_REQUESTS, SOAK_BATCH, SOAK_KV_QUANT=1.
+Writes the ``serving_soak`` record via the shared artifact machinery.
+"""
+from __future__ import annotations
+
+import os
+import sys
+import threading
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+from common import LANGUAGE, make_ref_audio, model_name, write_results  # noqa: E402
+
+N_REQUESTS = int(os.environ.get("SOAK_REQUESTS", 24))
+MAX_BATCH = int(os.environ.get("SOAK_BATCH", 8))
+KV_QUANT = os.environ.get("SOAK_KV_QUANT", "0") == "1"
+CHUNK = 8
+TEXTS = [
+    "A short utterance.",
+    "A medium length utterance that carries a bit more text to speak aloud.",
+    "A considerably longer utterance intended to exercise mixed sequence "
+    "lengths inside the shared continuous batch so rows retire at different "
+    "times and admissions happen mid-flight.",
+]
+STEP_BUDGETS = (96, 144, 192)  # 8 / 12 / 16 s of audio at 12 Hz
+
+
+def main():
+    from qwen3tts_tpu import FasterQwen3TTS
+    from qwen3tts_tpu.runtime.engine import GenerationPolicy
+    from qwen3tts_tpu.runtime.scheduler import ContinuousBatcher
+
+    t0 = time.time()
+    model = FasterQwen3TTS.from_pretrained(model_name(), dtype="bf16",
+                                           kv_quant=KV_QUANT)
+    print(f"load: {time.time()-t0:.1f}s (kv_quant={KV_QUANT})", file=sys.stderr)
+    ref = make_ref_audio()
+
+    # EOS suppressed: random weights would EOS at random, destroying the
+    # fixed-load comparison; every request runs exactly its budget
+    policy = GenerationPolicy(do_sample=True, min_new_tokens=10_000)
+    batcher = ContinuousBatcher(model, max_batch=MAX_BATCH, chunk_size=CHUNK,
+                                max_new_tokens=max(STEP_BUDGETS), policy=policy)
+    t0 = time.time()
+    batcher.warmup(prefill_buckets=(32, 64, 128))
+    print(f"warmup: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    # voice prompt cache warm (not part of the serving measurement)
+    h = batcher.submit(TEXTS[0], LANGUAGE, ref, "reference transcript",
+                       max_new_tokens=CHUNK)
+    for _ in h.chunks():
+        pass
+
+    results = []
+    lock = threading.Lock()
+
+    def drive(i, delay):
+        time.sleep(delay)
+        t_submit = time.time()
+        h = batcher.submit(TEXTS[i % len(TEXTS)], LANGUAGE, ref,
+                           "reference transcript",
+                           max_new_tokens=STEP_BUDGETS[i % len(STEP_BUDGETS)])
+        ttfa = None
+        steps = 0
+        for _audio, _sr, t in h.chunks():
+            if ttfa is None:
+                ttfa = (time.time() - t_submit) * 1000
+            steps = t["total_steps_so_far"]
+        with lock:
+            results.append({"i": i, "ttfa_ms": ttfa, "steps": steps,
+                            "wall_s": time.time() - t_submit,
+                            "queue_ms": t.get("queue_ms", 0.0)})
+
+    rs = np.random.RandomState(0)
+    delays = np.cumsum(rs.uniform(0.05, 0.6, N_REQUESTS))  # staggered arrivals
+    t_start = time.time()
+    threads = [threading.Thread(target=drive, args=(i, float(delays[i])))
+               for i in range(N_REQUESTS)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=1200)
+    wall = time.time() - t_start
+    batcher.close()
+
+    assert len(results) == N_REQUESTS, f"only {len(results)} completed"
+    total_steps = sum(r["steps"] for r in results)
+    ttfas = sorted(r["ttfa_ms"] for r in results)
+    payload = {
+        "requests": N_REQUESTS,
+        "max_batch": MAX_BATCH,
+        "kv_quant": KV_QUANT,
+        "chunk_size": CHUNK,
+        "total_frames": total_steps,
+        "wall_s": round(wall, 2),
+        "frames_per_s": round(total_steps / wall, 1),
+        "aggregate_rtf": round(total_steps / 12.0 / wall, 2),
+        "ttfa_ms_p50": round(ttfas[len(ttfas) // 2], 1),
+        "ttfa_ms_p95": round(ttfas[int(len(ttfas) * 0.95) - 1], 1),
+        "ttfa_ms_max": round(ttfas[-1], 1),
+        "per_step_ms_effective": round(wall / total_steps * 1000, 2),
+        "scheduler": {k: v for k, v in batcher.stats.items()
+                      if k != "queue_depth"},
+    }
+    write_results("serving_soak" + ("_kvq" if KV_QUANT else ""), payload)
+
+
+if __name__ == "__main__":
+    main()
