@@ -198,3 +198,26 @@ class StatefulStreamDecoder:
         audio, self.state = self.v.stream_feed(self.state, new_codes,
                                                collect_audio=True)
         return audio
+
+    def feed_async(self, new_codes: np.ndarray):
+        """Dispatch-only variant: returns a list of DEVICE audio arrays
+        (state advances immediately).  Callers batching many decoders (the
+        continuous-batching scheduler) dispatch every row first and fetch
+        all rows in ONE ``jax.device_get`` — per-row synchronous feeds pay a
+        full host↔device round trip each, which dominates the batch chunk
+        wall on tunneled runtimes.  Concatenate the fetched pieces with
+        ``np.concatenate([w[0] for w in pieces])`` (same layout as feed)."""
+        import jax.numpy as jnp
+
+        codes = np.asarray(new_codes, np.int32)
+        n = len(codes)
+        outs = []
+        i = 0
+        while i < n:
+            step = next(s for s in self.v.STREAM_FEED_SIZES if s <= n - i)
+            wav, self.state = self.v._stream_step_jit(
+                self.v.params, state=self.state,
+                codes=jnp.asarray(codes[None, i:i + step]))
+            outs.append(wav)
+            i += step
+        return outs

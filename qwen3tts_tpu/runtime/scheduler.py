@@ -256,54 +256,40 @@ class ContinuousBatcher:
         for req in initial:
             self._start_request(req)
 
+        # --- pipelined chunk loop.  One decode chunk is always in flight;
+        # its results are fetched while the NEXT chunk already runs on
+        # device.  Mutations (joins, force-done) can only touch a state the
+        # host owns, so they are decided at fetch time and applied one
+        # boundary later, just before that iteration's dispatch — a join or
+        # cancel lands one chunk (~chunk_size/12 s) after its trigger, and
+        # post-EOS speculative chunks exit their while_loop in zero
+        # iterations.  Per-row audio is vocoded with dispatch-all-rows THEN
+        # one fused fetch (StatefulStreamDecoder.feed_async): the previous
+        # per-row synchronous feeds paid B host↔device round trips per
+        # chunk, which dominated the batch wall on tunneled runtimes.
         limit = eng.max_seq_len - 1
-        while True:
-            # --- decode one chunk
-            state, frames, n, lens, done_all = eng.decode_chunk(
-                state, tth_dev, jnp.asarray(tth_lens), tpe_dev,
+        deferred_joins: List[Tuple[int, _Request]] = []
+        pending_force = np.zeros((B,), bool)
+
+        def dispatch(st):
+            return eng.decode_chunk(
+                st, tth_dev, jnp.asarray(tth_lens), tpe_dev,
                 self.policy, self.pred_policy, self.chunk_size,
-                knobs=self.knobs,
-            )
-            frames_np, n_val, lens_np, done_np, row_done = jax.device_get(
-                (frames, n, lens, done_all, state["done"]))
-            pos += int(n_val)
+                knobs=self.knobs)
 
-            # --- emit per-row audio; retire rows at EOS / budget
-            force_done = np.zeros((B,), bool)
-            for b in range(B):
-                req = rows[b]
-                if req is None:
-                    continue
-                valid = int(lens_np[b])
-                if req.cancelled:
-                    valid = 0
-                take = min(valid, req.max_new_tokens - req.steps)
-                if take > 0:
-                    self._emit(req, frames_np[b, :take])
-                over_budget = req.steps >= req.max_new_tokens
-                if bool(row_done[b]) or over_budget or req.cancelled:
-                    if req.cancelled:
-                        self._stats["cancelled"] += 1
-                    if not bool(row_done[b]):
-                        # over-budget OR cancelled: mark done on device too,
-                        # so the row stops burning decode steps and the
-                        # all-done early exit can trigger
-                        force_done[b] = True
-                    self._finish_request(req)
-                    rows[b] = None
-            if force_done.any():
-                state["done"] = state["done"] | jnp.asarray(force_done)
-
-            # --- admit pending requests into free rows at this boundary
-            admitted = False
-            for b in range(B):
-                if rows[b] is not None:
-                    continue
-                req = self._peek_admissible(pos, limit)
-                if req is None:
-                    break
-                state = eng.join_row(
-                    state, b, jnp.asarray(req.embeds, eng.dtype),
+        in_flight = dispatch(state)
+        while True:
+            st = in_flight[0]
+            # snapshot BEFORE the next dispatch donates st's buffers
+            done_snapshot = st["done"] | False
+            just_joined: List[Tuple[int, _Request]] = []
+            if pending_force.any():
+                st = dict(st)
+                st["done"] = st["done"] | jnp.asarray(pending_force)
+                pending_force = np.zeros((B,), bool)
+            for b, req in deferred_joins:
+                st = eng.join_row(
+                    st, b, jnp.asarray(req.embeds, eng.dtype),
                     policy=self.policy, pred_policy=self.pred_policy,
                     knobs=self.knobs, pos_hint=pos,
                 )
@@ -322,10 +308,59 @@ class ContinuousBatcher:
                 tpe[b] = req.tpe[0]
                 tpe_dev = tpe_dev.at[b].set(jnp.asarray(req.tpe[0], eng.dtype))
                 tth_lens[b] = L
+                just_joined.append((b, req))
+                self._stats["joined_mid_batch"] += 1
+            deferred_joins = []
+            next_in_flight = dispatch(st)
+
+            # --- fetch the current chunk (the next one is already running)
+            _, frames, n, lens, done_all = in_flight
+            frames_np, n_val, lens_np, done_np, row_done = jax.device_get(
+                (frames, n, lens, done_all, done_snapshot))
+            pos += int(n_val)
+
+            # --- emit per-row audio; retire rows at EOS / budget.
+            # ``rows`` here reflects the chunk just fetched (pre-join).
+            emits: List[Tuple[_Request, np.ndarray]] = []
+            retires: List[int] = []
+            for b in range(B):
+                req = rows[b]
+                if req is None:
+                    continue
+                valid = int(lens_np[b])
+                if req.cancelled:
+                    valid = 0
+                take = min(valid, req.max_new_tokens - req.steps)
+                if take > 0:
+                    emits.append((req, frames_np[b, :take]))
+                    req.steps += take  # counted at decode time (budget)
+                over_budget = req.steps >= req.max_new_tokens
+                if bool(row_done[b]) or over_budget or req.cancelled:
+                    if req.cancelled:
+                        self._stats["cancelled"] += 1
+                    if not bool(row_done[b]):
+                        # over-budget OR cancelled: mark done on device too
+                        # (applied next boundary) so the row stops burning
+                        # decode steps
+                        pending_force[b] = True
+                    retires.append(b)
+            self._emit_rows(emits)
+            for b in retires:
+                self._finish_request(rows[b])
+                rows[b] = None
+            for b, req in just_joined:  # visible from the NEXT chunk on
                 rows[b] = req
                 self._start_request(req)
-                self._stats["joined_mid_batch"] += 1
-                admitted = True
+
+            # --- decide admissions for the next boundary
+            for b in range(B):
+                if rows[b] is not None or pending_force[b] or any(
+                        jb == b for jb, _ in deferred_joins):
+                    continue
+                req = self._peek_admissible(pos, limit)
+                if req is None:
+                    break
+                deferred_joins.append((b, req))
 
             self._stats["active_rows"] = sum(r is not None for r in rows)
             live = any(r is not None for r in rows)
@@ -336,10 +371,12 @@ class ContinuousBatcher:
                         self._finish_request(rows[b])
                         rows[b] = None
                 live = False
-            if not live and not admitted:
-                eng.release(state)
+                deferred_joins = []
+            if not live and not deferred_joins:
+                eng.release(next_in_flight[0])
                 self._stats["active_rows"] = 0
                 return
+            in_flight = next_in_flight
 
     # ---- per-request helpers
 
@@ -349,14 +386,28 @@ class ContinuousBatcher:
         if req.ref_codes is not None:
             req.sd.feed(req.ref_codes)  # prime ICL acoustic context
 
-    def _emit(self, req: _Request, frames: np.ndarray):
-        if req.cancelled:
-            return  # dead consumer — never block the batch on its queue
-        audio = req.sd.feed(frames)
-        req.steps += len(frames)
+    def _emit_rows(self, emits: List[Tuple[_Request, np.ndarray]]):
+        """Vocode + deliver one fetched chunk for every live row: dispatch
+        ALL rows' stateful stream decoders first, then bring every row's
+        audio home in ONE ``jax.device_get`` — B separate synchronous feeds
+        would pay B host↔device round trips per chunk."""
+        live = [(req, frames, req.sd.feed_async(frames))
+                for req, frames in emits if not req.cancelled]
+        if not live:
+            return
+        fetched = jax.device_get([p for _, _, pieces in live for p in pieces])
+        idx = 0
+        for req, frames, pieces in live:
+            k = len(pieces)
+            audio = (np.concatenate([np.asarray(w[0]) for w in fetched[idx:idx + k]])
+                     if k else np.zeros((0,), np.float32))
+            idx += k
+            self._deliver(req, audio, int(len(frames)))
+
+    def _deliver(self, req: _Request, audio: np.ndarray, n_frames: int):
         timing = {
             "chunk_index": req.chunk_index,
-            "chunk_steps": int(len(frames)),
+            "chunk_steps": n_frames,
             "total_steps_so_far": req.steps,
             "is_final": False,
             "queue_ms": (req.started_at - req.submitted_at) * 1000.0,
