@@ -10,8 +10,12 @@ and records what a serving operator actually cares about:
   - per-request TTFA distribution (p50/p95) incl. queue wait
   - scheduler counters (joined_mid_batch, batches)
 
-Env knobs: MODEL_SIZE, SOAK_REQUESTS, SOAK_BATCH, SOAK_KV_QUANT=1.
-Writes the ``serving_soak`` record via the shared artifact machinery.
+Env knobs: MODEL_SIZE, SOAK_REQUESTS, SOAK_BATCH, SOAK_KV_QUANT=1,
+SOAK_QUANT=int8|w8a8 (weight quantization), SOAK_SPREAD (arrival-spread
+scale, default 1.0; ~0 = all requests arrive at once → measures the
+scheduler's saturated ceiling rather than the staggered-arrival profile).
+Writes the ``serving_soak[_kvq|_int8|_saturated]`` record via the shared
+artifact machinery.
 """
 from __future__ import annotations
 
@@ -30,6 +34,8 @@ from common import LANGUAGE, make_ref_audio, model_name, write_results  # noqa: 
 N_REQUESTS = int(os.environ.get("SOAK_REQUESTS", 24))
 MAX_BATCH = int(os.environ.get("SOAK_BATCH", 8))
 KV_QUANT = os.environ.get("SOAK_KV_QUANT", "0") == "1"
+QUANT = os.environ.get("SOAK_QUANT") or None
+SPREAD = float(os.environ.get("SOAK_SPREAD", "1.0"))
 CHUNK = 8
 TEXTS = [
     "A short utterance.",
@@ -48,8 +54,9 @@ def main():
 
     t0 = time.time()
     model = FasterQwen3TTS.from_pretrained(model_name(), dtype="bf16",
-                                           kv_quant=KV_QUANT)
-    print(f"load: {time.time()-t0:.1f}s (kv_quant={KV_QUANT})", file=sys.stderr)
+                                           kv_quant=KV_QUANT, quantize=QUANT)
+    print(f"load: {time.time()-t0:.1f}s (kv_quant={KV_QUANT}, "
+          f"quantize={QUANT})", file=sys.stderr)
     ref = make_ref_audio()
 
     # EOS suppressed: random weights would EOS at random, destroying the
@@ -88,7 +95,8 @@ def main():
                             "queue_ms": t.get("queue_ms", 0.0)})
 
     rs = np.random.RandomState(0)
-    delays = np.cumsum(rs.uniform(0.05, 0.6, N_REQUESTS))  # staggered arrivals
+    # staggered arrivals; SOAK_SPREAD scales the spacing (0 → all at once)
+    delays = np.cumsum(rs.uniform(0.05, 0.6, N_REQUESTS)) * SPREAD
     t_start = time.time()
     threads = [threading.Thread(target=drive, args=(i, float(delays[i])))
                for i in range(N_REQUESTS)]
@@ -106,6 +114,8 @@ def main():
         "requests": N_REQUESTS,
         "max_batch": MAX_BATCH,
         "kv_quant": KV_QUANT,
+        "quantize": QUANT,
+        "arrival_spread": SPREAD,
         "chunk_size": CHUNK,
         "total_frames": total_steps,
         "wall_s": round(wall, 2),
@@ -118,7 +128,14 @@ def main():
         "scheduler": {k: v for k, v in batcher.stats.items()
                       if k != "queue_depth"},
     }
-    write_results("serving_soak" + ("_kvq" if KV_QUANT else ""), payload)
+    tag = "serving_soak"
+    if KV_QUANT:
+        tag += "_kvq"
+    if QUANT:
+        tag += f"_{QUANT}"
+    if SPREAD < 0.5:
+        tag += "_saturated"
+    write_results(tag, payload)
 
 
 if __name__ == "__main__":

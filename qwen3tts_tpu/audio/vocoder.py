@@ -68,6 +68,16 @@ class Vocoder:
             donate_argnames=("state",))
         self._stream_init_jit = jax.jit(
             lambda: codec_lib.stream_init(self.params, cfg, 1))
+        self._stream_init_b_jit = jax.jit(
+            lambda b: codec_lib.stream_init(self.params, cfg, b),
+            static_argnums=(0,))
+        # splice one row's [1]-batch stream state into a batched state
+        # (continuous-batching row admission); ``row`` is traced so one
+        # executable serves every row index
+        self._scatter_row_jit = jax.jit(
+            lambda bs, rs, row: jax.tree.map(
+                lambda b, r: b.at[row].set(r[0]), bs, rs),
+            donate_argnums=(0,))
 
     # -- full (bucketed) decode, non-streaming ---------------------------
     def decode(self, codes: np.ndarray) -> np.ndarray:
@@ -96,6 +106,20 @@ class Vocoder:
     def stream_state(self):
         """Fresh codec streaming state (one fused device program)."""
         return self._stream_init_jit()
+
+    def stream_state_batched(self, batch: int):
+        """Fresh batched codec streaming state: one state pytree whose
+        leaves carry a leading ``batch`` dim, shared by all serving rows
+        (each row has its own ``frame0`` counter)."""
+        return self._stream_init_b_jit(batch)
+
+    def scatter_stream_row(self, batched_state, row_state, row: int):
+        """Write a single-row ([1]-batch) stream state into row ``row`` of a
+        batched state — how the continuous batcher resets/primes a row's
+        vocoder on admission.  Donates ``batched_state``; ``row_state`` is
+        left intact (it may be a cached primed voice state)."""
+        return self._scatter_row_jit(batched_state, row_state,
+                                     jnp.int32(row))
 
     def stream_feed(self, state, codes: np.ndarray, collect_audio: bool = True):
         """Feed frames through the streaming state in bounded-shape chunks.
@@ -199,25 +223,3 @@ class StatefulStreamDecoder:
                                                collect_audio=True)
         return audio
 
-    def feed_async(self, new_codes: np.ndarray):
-        """Dispatch-only variant: returns a list of DEVICE audio arrays
-        (state advances immediately).  Callers batching many decoders (the
-        continuous-batching scheduler) dispatch every row first and fetch
-        all rows in ONE ``jax.device_get`` — per-row synchronous feeds pay a
-        full host↔device round trip each, which dominates the batch chunk
-        wall on tunneled runtimes.  Concatenate the fetched pieces with
-        ``np.concatenate([w[0] for w in pieces])`` (same layout as feed)."""
-        import jax.numpy as jnp
-
-        codes = np.asarray(new_codes, np.int32)
-        n = len(codes)
-        outs = []
-        i = 0
-        while i < n:
-            step = next(s for s in self.v.STREAM_FEED_SIZES if s <= n - i)
-            wav, self.state = self.v._stream_step_jit(
-                self.v.params, state=self.state,
-                codes=jnp.asarray(codes[None, i:i + step]))
-            outs.append(wav)
-            i += step
-        return outs

@@ -466,14 +466,22 @@ def _stream_xf(layers, x, kwins, vwins, frame0, cfg: CodecConfig):
     D, NH, KVH = cfg.head_dim, cfg.num_attention_heads, cfg.num_key_value_heads
     W = cfg.sliding_window
     G = NH // KVH
-    qi = frame0 + jnp.arange(n, dtype=jnp.int32)  # [n] absolute
-    pos = jnp.broadcast_to(qi[None], (B, n))
+    # frame0 may be a scalar (all rows aligned) or a [B] vector: the
+    # continuous-batching scheduler shares ONE batched stream state across
+    # serving rows that joined at different times, so each row carries its
+    # own absolute frame counter.  RoPE scores depend only on position
+    # differences, so per-row absolute offsets stay exact; the mask's
+    # ``ki >= 0`` term is what hides a young row's not-yet-filled window.
+    f0 = jnp.asarray(frame0, jnp.int32).reshape(-1)[:, None]  # [B or 1, 1]
+    qi = f0 + jnp.arange(n, dtype=jnp.int32)[None]  # [B?, n] absolute
+    pos = jnp.broadcast_to(qi, (B, n))
     cos, sin = mrope_cos_sin(pos, D, cfg.rope_theta, None)
     ki = jnp.concatenate(
-        [frame0 - (W - 1) + jnp.arange(W - 1, dtype=jnp.int32), qi])  # [W-1+n]
-    mask = ((ki[None, None, :] <= qi[None, :, None])
-            & (ki[None, None, :] > qi[None, :, None] - W)
-            & (ki[None, None, :] >= 0))  # [1, n, W-1+n]
+        [f0 - (W - 1) + jnp.arange(W - 1, dtype=jnp.int32)[None], qi],
+        axis=1)  # [B?, W-1+n]
+    mask = ((ki[:, None, :] <= qi[:, :, None])
+            & (ki[:, None, :] > qi[:, :, None] - W)
+            & (ki[:, None, :] >= 0))  # [B?, n, W-1+n]
     mask = jnp.broadcast_to(mask, (B, n, W - 1 + n))
 
     new_k, new_v = [], []
@@ -517,7 +525,7 @@ def stream_init(params: Params, cfg: CodecConfig, batch: int = 1) -> Dict:
     # checkpoint with different kernel widths gets correct state, not an
     # opaque shape error deep inside decode_stream
     st: Dict = {
-        "frame0": jnp.int32(0),
+        "frame0": jnp.zeros((batch,), jnp.int32),  # per-row frame counter
         "xf_k": [jnp.zeros((batch, W - 1, KVH, D), dt) for _ in range(L)],
         "xf_v": [jnp.zeros((batch, W - 1, KVH, D), dt) for _ in range(L)],
         "up": [],

@@ -475,7 +475,8 @@ class Engine:
     # fused decode-chunk + streaming-vocoder window (one device program)
     # ------------------------------------------------------------------
 
-    def _build_chunk_vocode(self, vocoder, chunk_size: int):
+    def _build_chunk_vocode(self, vocoder, chunk_size: int,
+                            full_batch: bool = False):
         """Compile decode_chunk + the codec's STATEFUL streaming decode into
         ONE program: one dispatch and one host fetch per streamed audio chunk.
 
@@ -505,9 +506,14 @@ class Engine:
             # Frames beyond ``n`` (post-EOS garbage on the FINAL chunk) do
             # enter the stream state, but the stream ends there — no later
             # chunk reads the corrupted state.  Mid-stream chunks are full.
+            # (Batched serving: a retired row's state churns garbage until
+            # the row is re-primed on its next admission — also harmless,
+            # the codec is strictly causal and the row's state is reset.)
+            fr = frames[:, :chunk_size] if full_batch else frames[:1, :chunk_size]
             audio, voc_state = codec_lib.decode_stream(
-                voc_params, voc_cfg, voc_state, frames[:1, :chunk_size])
-            return state, frames, n, lens, done, audio[0], voc_state
+                voc_params, voc_cfg, voc_state, fr)
+            out_audio = audio if full_batch else audio[0]
+            return state, frames, n, lens, done, out_audio, voc_state
 
         return jax.jit(impl, static_argnames=("policy", "pred_policy"),
                        donate_argnames=("state", "voc_state"))
@@ -537,23 +543,46 @@ class Engine:
         assert self.batch == 1, "fused streaming vocode is batch-1"
         if knobs is None:
             knobs = make_knobs(policy, pred_policy)
+        fn = self._chunk_vocode_fn(vocoder, chunk_size, full_batch=False)
+        return fn(
+            self.talker_params, self.predictor_params, vocoder.params, state,
+            tth, self._tth_len_vec(tth_len), tpe, knobs, voc_state,
+            policy=policy.static, pred_policy=pred_policy.static,
+        )
+
+    def chunk_vocode_batched(self, vocoder, state, tth, tth_len, tpe, policy,
+                             pred_policy, chunk_size, voc_state, knobs=None):
+        """Fused decode_chunk + BATCHED stateful vocoder: every batch row's
+        chunk is decoded AND vocoded in one device program.  Returns
+        (state, frames, n, lens, done, audio [B, chunk*spf] f32, voc_state').
+        Row ``b``'s valid audio is ``audio[b, :lens[b]*spf]`` — the codec is
+        strictly causal, so the valid prefix is exact even when the tail of
+        the chunk is post-EOS garbage.  The continuous-batching scheduler's
+        serving loop runs on this: one dispatch and one fetch per chunk for
+        the WHOLE batch (the per-row vocode path paid B extra dispatches and
+        a codes re-upload per chunk)."""
+        if knobs is None:
+            knobs = make_knobs(policy, pred_policy)
+        fn = self._chunk_vocode_fn(vocoder, chunk_size, full_batch=True)
+        return fn(
+            self.talker_params, self.predictor_params, vocoder.params, state,
+            tth, self._tth_len_vec(tth_len), tpe, knobs, voc_state,
+            policy=policy.static, pred_policy=pred_policy.static,
+        )
+
+    def _chunk_vocode_fn(self, vocoder, chunk_size: int, full_batch: bool):
         cache = getattr(self, "_chunk_vocode_cache", None)
         if cache is None:
             cache = self._chunk_vocode_cache = {}
         # the cache entry holds a strong ref to the vocoder: id() keys are
         # only unique while the object is alive, and the compiled fn has the
         # vocoder's cfg baked in
-        ck = (id(vocoder), chunk_size)
+        ck = (id(vocoder), chunk_size, full_batch)
         entry = cache.get(ck)
         if entry is None or entry[0] is not vocoder:
-            entry = cache[ck] = (vocoder,
-                                 self._build_chunk_vocode(vocoder, chunk_size))
-        fn = entry[1]
-        return fn(
-            self.talker_params, self.predictor_params, vocoder.params, state,
-            tth, self._tth_len_vec(tth_len), tpe, knobs, voc_state,
-            policy=policy.static, pred_policy=pred_policy.static,
-        )
+            entry = cache[ck] = (vocoder, self._build_chunk_vocode(
+                vocoder, chunk_size, full_batch=full_batch))
+        return entry[1]
 
     # ------------------------------------------------------------------
     # continuous batching: admit one request into a running batch

@@ -18,10 +18,12 @@ fully independent.
 """
 from __future__ import annotations
 
+import hashlib
 import logging
 import queue
 import threading
 import time
+from collections import OrderedDict
 from dataclasses import dataclass, field
 from typing import Dict, Generator, List, Optional, Tuple
 
@@ -60,7 +62,6 @@ class _Request:
         default_factory=lambda: queue.Queue(maxsize=OUT_QUEUE_SIZE))
     submitted_at: float = field(default_factory=time.time)
     started_at: float = 0.0
-    sd: object = None  # per-request streaming vocoder
     steps: int = 0
     chunk_index: int = 0
     row: int = -1
@@ -116,6 +117,11 @@ class ContinuousBatcher:
         self.engine: Engine = model._batch_engine(max_batch)
         self.knobs = make_knobs(self.policy, self.pred_policy)
         self._pending: "queue.Queue[_Request]" = queue.Queue()
+        # primed single-row codec stream states keyed by voice (ref codes
+        # content): admitting a repeat voice is a pure device-side scatter
+        # instead of re-feeding the reference codes through the vocoder
+        self._voice_states: "OrderedDict[object, object]" = OrderedDict()
+        self._voice_cache_cap = 8
         self._stop = threading.Event()
         self._stats = {"served": 0, "joined_mid_batch": 0, "batches": 0,
                        "cancelled": 0, "active_rows": 0}
@@ -208,13 +214,29 @@ class ContinuousBatcher:
     # ---- batch lifecycle
 
     def _serve_batch(self, initial: List[_Request]):
+        """Run one batch to completion.  Any unexpected failure fails every
+        request the batch currently owns (live rows AND admitted-but-not-yet-
+        joined) — a stream that hangs forever is strictly worse than one that
+        raises — and the worker survives to serve the next batch."""
+        rows: List[Optional[_Request]] = [None] * self.B
+        for i, req in enumerate(initial):
+            rows[i] = req
+        admitted: List[_Request] = []  # popped from _pending, not yet in rows
+        try:
+            self._serve_batch_inner(rows, initial, admitted)
+        except Exception as exc:  # noqa: BLE001 — deliver, don't hang
+            logger.exception("batch serving failed")
+            victims = {id(r): r for r in rows + admitted if r is not None}
+            for req in victims.values():
+                self._fail(req, RuntimeError(
+                    f"batch serving failed: {exc!r}"))
+
+    def _serve_batch_inner(self, rows: List[Optional[_Request]],
+                           initial: List[_Request],
+                           admitted: List[_Request]):
         eng, B = self.engine, self.B
         H = self.model.cfg.talker.hidden_size
         self._stats["batches"] += 1
-
-        rows: List[Optional[_Request]] = [None] * B
-        for i, req in enumerate(initial):
-            rows[i] = req
 
         # --- stacked initial prefill: rows left-padded to the common length
         #     with true per-row pad counts (masks + RoPE need them); rows
@@ -253,6 +275,17 @@ class ContinuousBatcher:
         tth_dev = jnp.asarray(tth, eng.dtype)
         tpe_dev = jnp.asarray(tpe, eng.dtype)
 
+        # --- ONE batched codec stream state for the whole batch: each
+        # live row's chunk is vocoded inside the fused device program
+        # (chunk_vocode_batched); admissions splice a primed single-row
+        # state in via scatter_stream_row
+        voc = self.model.vocoder
+        spf = voc.spf
+        voc_state = voc.stream_state_batched(B)
+        for i, req in enumerate(initial):
+            voc_state = voc.scatter_stream_row(
+                voc_state, self._primed_state(req), i)
+
         for req in initial:
             self._start_request(req)
 
@@ -263,23 +296,26 @@ class ContinuousBatcher:
         # boundary later, just before that iteration's dispatch — a join or
         # cancel lands one chunk (~chunk_size/12 s) after its trigger, and
         # post-EOS speculative chunks exit their while_loop in zero
-        # iterations.  Per-row audio is vocoded with dispatch-all-rows THEN
-        # one fused fetch (StatefulStreamDecoder.feed_async): the previous
-        # per-row synchronous feeds paid B host↔device round trips per
-        # chunk, which dominated the batch wall on tunneled runtimes.
+        # iterations.  Decode AND vocode run as ONE fused batched program
+        # (chunk_vocode_batched): audio for every row comes back in the
+        # same single fetch as the chunk bookkeeping — the earlier
+        # per-row stream-decoder feeds paid B extra dispatches plus a
+        # codes re-upload per chunk, which dominated the batch wall on
+        # tunneled runtimes.
         limit = eng.max_seq_len - 1
         deferred_joins: List[Tuple[int, _Request]] = []
         pending_force = np.zeros((B,), bool)
 
-        def dispatch(st):
-            return eng.decode_chunk(
-                st, tth_dev, jnp.asarray(tth_lens), tpe_dev,
-                self.policy, self.pred_policy, self.chunk_size,
+        def dispatch(st, vst):
+            return eng.chunk_vocode_batched(
+                voc, st, tth_dev, jnp.asarray(tth_lens), tpe_dev,
+                self.policy, self.pred_policy, self.chunk_size, vst,
                 knobs=self.knobs)
 
-        in_flight = dispatch(state)
+        in_flight = dispatch(state, voc_state)
         while True:
             st = in_flight[0]
+            vst = in_flight[6]
             # snapshot BEFORE the next dispatch donates st's buffers
             done_snapshot = st["done"] | False
             just_joined: List[Tuple[int, _Request]] = []
@@ -310,18 +346,22 @@ class ContinuousBatcher:
                 tth_lens[b] = L
                 just_joined.append((b, req))
                 self._stats["joined_mid_batch"] += 1
+                # reset + prime the row's slice of the shared vocoder state
+                # (its first frames appear in the chunk dispatched below)
+                vst = voc.scatter_stream_row(vst, self._primed_state(req), b)
             deferred_joins = []
-            next_in_flight = dispatch(st)
+            next_in_flight = dispatch(st, vst)
 
             # --- fetch the current chunk (the next one is already running)
-            _, frames, n, lens, done_all = in_flight
-            frames_np, n_val, lens_np, done_np, row_done = jax.device_get(
-                (frames, n, lens, done_all, done_snapshot))
+            _, _frames, n, lens, done_all, audio, _ = in_flight
+            n_val, lens_np, audio_np, row_done = jax.device_get(
+                (n, lens, audio, done_snapshot))
             pos += int(n_val)
 
             # --- emit per-row audio; retire rows at EOS / budget.
             # ``rows`` here reflects the chunk just fetched (pre-join).
-            emits: List[Tuple[_Request, np.ndarray]] = []
+            # ``audio_np[b]`` holds the row's whole vocoded chunk; the
+            # valid prefix (causal codec) is the deliverable slice.
             retires: List[int] = []
             for b in range(B):
                 req = rows[b]
@@ -332,8 +372,8 @@ class ContinuousBatcher:
                     valid = 0
                 take = min(valid, req.max_new_tokens - req.steps)
                 if take > 0:
-                    emits.append((req, frames_np[b, :take]))
                     req.steps += take  # counted at decode time (budget)
+                    self._deliver(req, audio_np[b, : take * spf], take)
                 over_budget = req.steps >= req.max_new_tokens
                 if bool(row_done[b]) or over_budget or req.cancelled:
                     if req.cancelled:
@@ -344,12 +384,12 @@ class ContinuousBatcher:
                         # decode steps
                         pending_force[b] = True
                     retires.append(b)
-            self._emit_rows(emits)
             for b in retires:
                 self._finish_request(rows[b])
                 rows[b] = None
             for b, req in just_joined:  # visible from the NEXT chunk on
                 rows[b] = req
+                admitted.remove(req)
                 self._start_request(req)
 
             # --- decide admissions for the next boundary
@@ -361,6 +401,7 @@ class ContinuousBatcher:
                 if req is None:
                     break
                 deferred_joins.append((b, req))
+                admitted.append(req)
 
             self._stats["active_rows"] = sum(r is not None for r in rows)
             live = any(r is not None for r in rows)
@@ -371,6 +412,13 @@ class ContinuousBatcher:
                         self._finish_request(rows[b])
                         rows[b] = None
                 live = False
+                # admitted-but-not-yet-joined requests go back to pending:
+                # they will seed the NEXT batch (dropping them would hang
+                # their clients).  Unreachable while admission requires
+                # 64 spare positions and chunks are < 64 — kept as armor.
+                for _, req in deferred_joins:
+                    admitted.remove(req)
+                    self._pending.put(req)
                 deferred_joins = []
             if not live and not deferred_joins:
                 eng.release(next_in_flight[0])
@@ -382,27 +430,30 @@ class ContinuousBatcher:
 
     def _start_request(self, req: _Request):
         req.started_at = time.time()
-        req.sd = self.model.vocoder.stateful_stream_decoder()
-        if req.ref_codes is not None:
-            req.sd.feed(req.ref_codes)  # prime ICL acoustic context
 
-    def _emit_rows(self, emits: List[Tuple[_Request, np.ndarray]]):
-        """Vocode + deliver one fetched chunk for every live row: dispatch
-        ALL rows' stateful stream decoders first, then bring every row's
-        audio home in ONE ``jax.device_get`` — B separate synchronous feeds
-        would pay B host↔device round trips per chunk."""
-        live = [(req, frames, req.sd.feed_async(frames))
-                for req, frames in emits if not req.cancelled]
-        if not live:
-            return
-        fetched = jax.device_get([p for _, _, pieces in live for p in pieces])
-        idx = 0
-        for req, frames, pieces in live:
-            k = len(pieces)
-            audio = (np.concatenate([np.asarray(w[0]) for w in fetched[idx:idx + k]])
-                     if k else np.zeros((0,), np.float32))
-            idx += k
-            self._deliver(req, audio, int(len(frames)))
+    def _primed_state(self, req: _Request):
+        """Single-row codec stream state primed with the request's ICL
+        reference codes, LRU-cached per voice: repeat voices admit with a
+        device-side scatter only (no re-feed of the reference).  The cached
+        state is never donated — scatter_stream_row leaves it intact."""
+        voc = self.model.vocoder
+        if req.ref_codes is None:
+            key = None
+        else:
+            c = np.ascontiguousarray(req.ref_codes, np.int32)
+            key = (c.shape, hashlib.sha1(c.tobytes()).hexdigest())
+        st = self._voice_states.get(key)
+        if st is None:
+            st = voc.stream_state()
+            if req.ref_codes is not None:
+                _, st = voc.stream_feed(st, req.ref_codes,
+                                        collect_audio=False)
+            self._voice_states[key] = st
+            while len(self._voice_states) > self._voice_cache_cap:
+                self._voice_states.popitem(last=False)
+        else:
+            self._voice_states.move_to_end(key)
+        return st
 
     def _deliver(self, req: _Request, audio: np.ndarray, n_frames: int):
         timing = {
@@ -488,7 +539,7 @@ class ContinuousBatcher:
         eng = self.engine
         H = self.model.cfg.talker.hidden_size
         eng.warmup_all(self.policy, self.pred_policy,
-                       chunk_sizes=(self.chunk_size,), max_tth=max_tth)
+                       chunk_sizes=(), max_tth=max_tth)
         state = eng.prefill(
             jnp.zeros((self.B, PREFILL_BUCKETS[0], H), eng.dtype),
             jax.random.PRNGKey(0), self.policy, knobs=self.knobs)
@@ -497,6 +548,20 @@ class ContinuousBatcher:
                 state, 0, jnp.zeros((1, Tb, H), eng.dtype),
                 policy=self.policy, pred_policy=self.pred_policy,
                 knobs=self.knobs)
-        jax.block_until_ready(state["token"])
+        # fused batched decode+vocode program (every tth bucket, so a
+        # mid-serving re-bucket never hits a compile stall) + row scatter
+        voc = self.model.vocoder
+        vst = voc.scatter_stream_row(voc.stream_state_batched(self.B),
+                                     voc.stream_state(), 0)
+        tpe0 = jnp.zeros((self.B, 1, H), eng.dtype)
+        out = None
+        for tb in [b for b in TTH_BUCKETS if b <= (max_tth or TTH_BUCKETS[-1])]:
+            out = eng.chunk_vocode_batched(
+                voc, state, jnp.zeros((self.B, tb, H), eng.dtype),
+                jnp.zeros((self.B,), jnp.int32), tpe0,
+                self.policy, self.pred_policy, self.chunk_size, vst,
+                knobs=self.knobs)
+            state, vst = out[0], out[6]
+        jax.block_until_ready(out[5])
         eng.release(state)
         logger.info("batcher warmup: %.1fs", time.time() - t0)

@@ -162,3 +162,57 @@ def test_stream_decoder_icl_priming(codec):
     # primed output must equal the suffix of a full decode of ref+gen
     full = v.decode(np.concatenate([ref, gen]))
     np.testing.assert_allclose(out_primed, full[10 * cfg.total_upsample :], atol=1e-4)
+
+
+def test_batched_stream_state_staggered_rows(codec):
+    """ONE batched stream state serving rows that joined at different times
+    (per-row ``frame0``) must emit each row's audio exactly as an
+    independent single-row streaming decode — the invariant behind the
+    continuous batcher's fused batched vocode (runtime/scheduler.py)."""
+    from qwen3tts_tpu.audio.vocoder import Vocoder
+
+    params, cfg = codec
+    v = Vocoder(params, cfg, compute_dtype=None)
+    spf = cfg.total_upsample
+    B, chunk = 3, 4
+
+    row_codes = [np.asarray(_codes(cfg, 16, seed=10 + b)[0]) for b in range(B)]
+    ref = np.asarray(_codes(cfg, 7, seed=99)[0])  # row 2 is ICL-primed
+
+    st = v.stream_state_batched(B)
+    # rows 0 and 1 active from the start; row 1 replaced mid-stream
+    st = v.scatter_stream_row(st, v.stream_state(), 0)
+    st = v.scatter_stream_row(st, v.stream_state(), 1)
+
+    audio = {0: [], 1: [], 2: []}
+    owner = {0: 0, 1: 1}  # batch row -> logical stream (row 2 stays garbage)
+    fed = {0: 0, 1: 0, 2: 0}
+    for boundary in range(6):
+        if boundary == 2:  # stream 1 retires; a primed stream 2 takes row 1
+            primed = v.stream_state()
+            _, primed = v.stream_feed(primed, ref, collect_audio=False)
+            st = v.scatter_stream_row(st, primed, 1)
+            owner[1] = 2
+        # retired/unused rows feed zeros — the garbage churn a retired
+        # serving row sees between admissions
+        batch = np.zeros((B, chunk, cfg.num_quantizers), np.int32)
+        live = {r: s for r, s in owner.items() if fed[s] + chunk <= 16}
+        for r, s in live.items():
+            batch[r] = row_codes[s][fed[s]: fed[s] + chunk]
+        wav, st = v._stream_step_jit(v.params, state=st,
+                                     codes=jnp.asarray(batch))
+        wav = np.asarray(wav)
+        for r, s in live.items():
+            audio[s].append(wav[r])
+            fed[s] += chunk
+
+    # row 0: uninterrupted stream == single-row stateful decode
+    sd = v.stateful_stream_decoder()
+    expect0 = sd.feed(row_codes[0][:16])
+    np.testing.assert_allclose(np.concatenate(audio[0])[: len(expect0)],
+                               expect0, atol=1e-5)
+    # row 2 (joined mid-batch, ICL-primed): equals the suffix of a full
+    # decode of ref+its codes — exact despite sharing state with other rows
+    got2 = np.concatenate(audio[2])
+    full2 = v.decode(np.concatenate([ref, row_codes[2][: len(got2) // spf]]))
+    np.testing.assert_allclose(got2, full2[7 * spf:], atol=1e-4)
