@@ -239,3 +239,35 @@ def test_timing_contract(batcher, ref_wav):
     assert timings[-1]["total_steps_so_far"] == 16
     for t in timings:
         assert t["chunk_steps"] > 0 and "queue_ms" in t
+
+
+def test_worker_failure_fails_live_streams_not_hangs(tiny_tts, ref_wav,
+                                                     monkeypatch):
+    """An unexpected device/runtime error mid-batch must surface as an
+    error on every live stream (and the worker must survive to serve the
+    next batch) — a silently hung stream is the worst failure mode."""
+    from qwen3tts_tpu.runtime.engine import Engine
+
+    calls = {"n": 0}
+    real = Engine.chunk_vocode_batched
+
+    def flaky(self, *a, **k):
+        calls["n"] += 1
+        if calls["n"] == 3:  # let the batch get rolling, then blow up
+            raise RuntimeError("injected device fault")
+        return real(self, *a, **k)
+
+    monkeypatch.setattr(Engine, "chunk_vocode_batched", flaky)
+    b = ContinuousBatcher(tiny_tts, max_batch=2, chunk_size=4,
+                          max_new_tokens=400, policy=NO_EOS)
+    try:
+        h = b.submit("Doomed stream.", "English", ref_wav, "ref")
+        with pytest.raises(RuntimeError, match="batch serving failed"):
+            for _ in h.chunks():
+                pass
+        # worker survived: the next batch is served normally
+        h2 = b.submit("Recovery stream.", "English", ref_wav, "ref",
+                      max_new_tokens=8)
+        assert len(_collect(h2)) == 8 * b.model.vocoder.spf
+    finally:
+        b.close()
