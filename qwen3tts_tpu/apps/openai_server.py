@@ -269,6 +269,11 @@ def main(argv=None):
     registry = VoiceRegistry.from_args(args.voices, args.ref_audio, args.ref_text)
     httpd = serve(model, registry, args.host, args.port, args.chunk_size,
                   max_batch=args.continuous_batching)
+    if args.warmup_all and httpd.tts_state.batcher is not None:
+        # the batched engine has its own executables (batched prefill,
+        # join, fused batched decode+vocode) — warm them too or the first
+        # served request hits every compile
+        httpd.tts_state.batcher.warmup()
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:
