@@ -36,8 +36,10 @@ ARTIFACT_FOR_MODE = {
 def build_model(mode: str):
     from qwen3tts_tpu import FasterQwen3TTS
 
+    from qwen3tts_tpu.ops.quant import MODES as QUANT_MODES
+
     kw = {}
-    if mode in ("int8", "w8a8"):
+    if mode in QUANT_MODES:
         kw["quantize"] = mode
     elif mode == "kv_quant":
         kw["kv_quant"] = True

@@ -108,6 +108,10 @@ class FasterQwen3TTS:
 
         quantize="int8": store the talker/predictor projection matrices as
         int8 with per-channel scales — halves decode weight bandwidth.
+        Selective modes ("int8-predictor", "w8a8-predictor", ...-talker)
+        quantize one component only; int8-predictor keeps codebook-0 (the
+        semantic stream) at full precision while cutting ~69% of the decode
+        step's weight bytes (benchmarks/decompose.py).
         kv_quant=True: int8 KV cache (per-position/head scales) — halves
         attention-read bytes; matters at batch>1 and long positions."""
         if isinstance(dtype, str):

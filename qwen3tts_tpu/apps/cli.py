@@ -15,6 +15,8 @@ from pathlib import Path
 
 import numpy as np
 
+from ..ops.quant import MODES as QUANT_MODES
+
 logger = logging.getLogger("qwen3tts_tpu.cli")
 
 
@@ -236,7 +238,7 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--dtype", default="bf16", choices=["bf16", "fp16", "fp32",
                                                             "bfloat16", "float16", "float32"])
         sp.add_argument("--max-seq-len", type=int, default=2048)
-        sp.add_argument("--quantize", default=None, choices=["int8", "w8a8"],
+        sp.add_argument("--quantize", default=None, choices=sorted(QUANT_MODES),
                         help="int8 weight-only / native-int8-MXU decode "
                         "(v5e: ~18.8x realtime streaming vs 13.9 bf16)")
         sp.add_argument("--kv-quant", action="store_true",

@@ -30,6 +30,7 @@ from typing import Callable, Dict, Optional
 import numpy as np
 
 from ..audio.wav import read_wav, to_pcm16, wav_header, write_wav
+from ..ops.quant import MODES as QUANT_MODES
 
 logger = logging.getLogger("qwen3tts_tpu.demo")
 
@@ -383,7 +384,7 @@ def main(argv=None):
     p = argparse.ArgumentParser(description="Qwen3-TTS TPU web demo")
     p.add_argument("--models", nargs="*", default=DEFAULT_MODELS)
     p.add_argument("--dtype", default="bf16")
-    p.add_argument("--quantize", default=None, choices=["int8", "w8a8"])
+    p.add_argument("--quantize", default=None, choices=sorted(QUANT_MODES))
     p.add_argument("--kv-quant", action="store_true")
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=7860)

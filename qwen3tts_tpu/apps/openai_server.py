@@ -28,6 +28,7 @@ from typing import Dict, Optional
 import numpy as np
 
 from ..audio import mp3
+from ..ops.quant import MODES as QUANT_MODES
 from ..audio.wav import to_pcm16, wav_header
 
 logger = logging.getLogger("qwen3tts_tpu.openai_server")
@@ -240,7 +241,7 @@ def main(argv=None):
     p.add_argument("--dtype", default="bf16")
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8000)
-    p.add_argument("--quantize", default=None, choices=["int8", "w8a8"],
+    p.add_argument("--quantize", default=None, choices=sorted(QUANT_MODES),
                    help="int8 decode modes (see README)")
     p.add_argument("--kv-quant", action="store_true",
                    help="int8 KV cache (serving-batch memory headroom)")

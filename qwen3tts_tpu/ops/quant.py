@@ -14,7 +14,9 @@ scales halves the bytes.  Two modes:
   weight-only achieves ~60% of the bf16 path's GB/s).  Format:
   ``{"q8": int8, "scale": f32}`` — the key name is the (static) mode tag.
 
-Opt-in: ``FasterQwen3TTS.from_pretrained(..., quantize="int8"|"w8a8")``.
+Opt-in: ``FasterQwen3TTS.from_pretrained(..., quantize="int8"|"w8a8")``, or
+selectively per component: ``"int8-predictor"`` / ``"w8a8-predictor"`` /
+``"...-talker"`` (see ``parse_mode``).
 Only the layer-stack projection matrices (+ predictor lm_heads) are
 quantized; embeddings/norms stay in the model dtype — they are small,
 row-gathered, or accuracy-critical.
@@ -28,7 +30,24 @@ import jax.numpy as jnp
 
 # layer-stack leaves worth quantizing: [L, in, out] projection matrices
 _QUANT_KEYS = ("qkv_proj", "o_proj", "gateup_proj", "down_proj")
-MODES = ("int8", "w8a8")
+_BASE_MODES = ("int8", "w8a8")
+_PARTS = ("talker", "predictor")
+# Selective modes quantize one component only.  "int8-predictor" is the
+# bandwidth/quality sweet spot: the predictor reads ~69% of the decode
+# step's weight bytes (benchmarks/decompose.py: 1.95 GB/frame vs the
+# talker's 0.88 GB/step on 0.6B) but only refines codebooks 1-15 — the
+# talker, whose codebook-0 tokens carry the semantic content, stays bf16.
+MODES = _BASE_MODES + tuple(
+    f"{b}-{p}" for b in _BASE_MODES for p in _PARTS)
+
+
+def parse_mode(mode: str):
+    """'int8' → ('int8', ('talker','predictor')); 'w8a8-predictor' →
+    ('w8a8', ('predictor',)).  Raises on unknown modes."""
+    if mode not in MODES:
+        raise ValueError(f"unknown quantize mode {mode!r}; expected one of {MODES}")
+    base, _, part = mode.partition("-")
+    return base, ((part,) if part else _PARTS)
 
 
 def quantize_tensor(w: jnp.ndarray, mode: str = "int8") -> Dict[str, jnp.ndarray]:
@@ -80,16 +99,18 @@ def quantize_block_stack(blocks: Dict[str, jnp.ndarray],
 
 
 def quantize_bundle(bundle: Dict[str, Any], mode: str = "int8") -> Dict[str, Any]:
-    """Quantize the talker + predictor decode-path weights in a param bundle.
+    """Quantize the decode-path weights in a param bundle.
 
-    Beyond the block projections, the predictor's per-codebook lm_heads are
-    quantized too: they are read in FULL every frame (15 × [Hp, CB] ≈ 60 MB
-    bf16 per frame — benchmarks/decompose.py), unlike embeddings which are
+    ``mode`` is "int8"/"w8a8" (both components) or a selective
+    "<base>-talker"/"<base>-predictor" (see ``parse_mode``).  Beyond the
+    block projections, the predictor's per-codebook lm_heads are quantized
+    too: they are read in FULL every frame (15 × [Hp, CB] ≈ 60 MB bf16 per
+    frame — benchmarks/decompose.py), unlike embeddings which are
     row-gathered."""
-    if mode not in MODES:
-        raise ValueError(f"unknown quantize mode {mode!r}; expected one of {MODES}")
+    base, parts = parse_mode(mode)
+    mode = base
     out = dict(bundle)
-    for part in ("talker", "predictor"):
+    for part in parts:
         p = dict(bundle[part])
         p["blocks"] = quantize_block_stack(p["blocks"], mode)
         if part == "predictor":

@@ -94,6 +94,40 @@ def test_w8a8_bundle_generates(tiny_cfg, ref_wav):
     assert np.isfinite(audio_list[0]).all()
 
 
+def test_selective_predictor_quant(tiny_cfg, ref_wav):
+    """quantize="int8-predictor" quantizes ONLY the predictor stack: the
+    talker (codebook-0 semantics) stays full precision, and generation
+    runs end-to-end through the fused streaming path."""
+    from qwen3tts_tpu import FasterQwen3TTS
+    from qwen3tts_tpu.ops.quant import parse_mode
+
+    assert parse_mode("int8-predictor") == ("int8", ("predictor",))
+    assert parse_mode("w8a8-talker") == ("w8a8", ("talker",))
+
+    m = FasterQwen3TTS.from_pretrained("random:tiny", quantize="int8-predictor")
+    assert not is_quantized(m.params["talker"]["blocks"]["qkv_proj"])
+    assert is_quantized(m.params["predictor"]["blocks"]["qkv_proj"])
+    assert is_quantized(m.params["predictor"]["lm_heads"])
+    audio_list, sr = m.generate_voice_clone(
+        "Selective.", "English", ref_wav, "r", max_new_tokens=6)
+    assert len(audio_list[0]) % 2000 == 0
+    assert np.isfinite(audio_list[0]).all()
+    chunks = [a for a, _, _ in m.generate_voice_clone_streaming(
+        "Selective.", "English", ref_wav, "r", max_new_tokens=8, chunk_size=4)]
+    assert all(np.isfinite(a).all() for a in chunks)
+
+
+def test_selective_talker_quant_leaves_predictor(tiny_cfg):
+    from qwen3tts_tpu.core.loader import load_pretrained
+
+    _, params = load_pretrained("random:tiny")
+    out = quantize_bundle(params, "w8a8-talker")
+    assert is_quantized(out["talker"]["blocks"]["qkv_proj"])
+    assert "q8" in out["talker"]["blocks"]["qkv_proj"]
+    assert not is_quantized(out["predictor"]["blocks"]["qkv_proj"])
+    assert not is_quantized(out["predictor"]["lm_heads"])
+
+
 def test_int8_plus_kv_quant_streams(tiny_cfg, ref_wav):
     """Full API with BOTH int8 weights and the int8 KV cache: non-streaming
     and fused-streaming generation produce finite, frame-aligned audio
