@@ -38,7 +38,9 @@ def main():
     from qwen3tts_tpu.audio.wav import write_wav
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--quantize", default=None, choices=(None, "int8", "w8a8"),
+    from qwen3tts_tpu.ops.quant import MODES as QUANT_MODES
+
+    ap.add_argument("--quantize", default=None, choices=(None, *QUANT_MODES),
                     help="optional quantized-mode run; the headline metric "
                          "name gains a _<mode> suffix and results go to "
                          "bench_results_tpu_<mode>.json")

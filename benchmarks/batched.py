@@ -45,7 +45,7 @@ def main():
     cfg, params = load_pretrained(f"random:{args.preset}")
     if args.quantize:
         from qwen3tts_tpu.ops.quant import quantize_bundle
-        params = quantize_bundle(params)
+        params = quantize_bundle(params, args.quantize)
     H = cfg.talker.hidden_size
     dt = cfg.jnp_dtype
     pol = GenerationPolicy()

@@ -45,7 +45,12 @@ def measure_ramped_ttfa(model, ref, chunk_size=8, tries=3):
 def cert_mode(mode: str, chunks, steps: int):
     from qwen3tts_tpu import FasterQwen3TTS
 
-    kw = {"quantize": mode} if mode in ("int8", "w8a8") else {}
+    from qwen3tts_tpu.ops.quant import MODES as QUANT_MODES
+
+    if mode != "bf16" and mode not in QUANT_MODES:
+        raise ValueError(
+            f"unknown mode {mode!r}; expected bf16 or one of {QUANT_MODES}")
+    kw = {"quantize": mode} if mode in QUANT_MODES else {}
     t0 = time.time()
     model = FasterQwen3TTS.from_pretrained(model_name(), dtype="bf16", **kw)
     load_s = time.time() - t0

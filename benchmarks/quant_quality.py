@@ -27,10 +27,14 @@ from common import (LANGUAGE, TEXT, load_model, make_ref_audio,  # noqa: E402
 from qwen3tts_tpu.utils.quality import (  # noqa: E402
     fixed_generation, log_mel_distance, token_agreement, waveform_snr_db)
 
-ARTIFACT_FOR_MODE = {
-    "int8": "bench_results_tpu_int8.json",
-    "w8a8": "bench_results_tpu_w8a8.json",
-}
+def artifact_for_mode(mode: str):
+    """Speed-artifact JSON patched with quality_vs_bf16 (bench.py naming:
+    bench_results_tpu_<mode>.json).  None for modes without a speed artifact
+    (bf16 is the reference; kv_quant quality lives in the quant_quality
+    record only)."""
+    from qwen3tts_tpu.ops.quant import MODES as QUANT_MODES
+
+    return f"bench_results_tpu_{mode}.json" if mode in QUANT_MODES else None
 
 
 def build_model(mode: str):
@@ -88,8 +92,9 @@ def main():
         del mq
         gc.collect()
 
-        if args.update_artifacts and mode in ARTIFACT_FOR_MODE:
-            art = Path(__file__).resolve().parent.parent / ARTIFACT_FOR_MODE[mode]
+        art_name = artifact_for_mode(mode)
+        if args.update_artifacts and art_name:
+            art = Path(__file__).resolve().parent.parent / art_name
             if art.exists():
                 data = json.loads(art.read_text())
                 data["quality_vs_bf16"] = rec

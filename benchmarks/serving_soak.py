@@ -19,6 +19,7 @@ artifact machinery.
 """
 from __future__ import annotations
 
+import math
 import os
 import sys
 import threading
@@ -78,6 +79,7 @@ def main():
         pass
 
     results = []
+    errors = []
     lock = threading.Lock()
 
     def drive(i, delay):
@@ -88,14 +90,20 @@ def main():
                            max_new_tokens=STEP_BUDGETS[i % len(STEP_BUDGETS)])
         ttfa = None
         steps = 0
-        for _audio, _sr, t in h.chunks():
-            if ttfa is None:
-                ttfa = (time.time() - t_submit) * 1000
-            steps = t["total_steps_so_far"]
+        tim = {}
+        try:
+            for _audio, _sr, tim in h.chunks():
+                if ttfa is None:
+                    ttfa = (time.time() - t_submit) * 1000
+                steps = tim["total_steps_so_far"]
+        except Exception as e:  # failed/cancelled stream: record, don't hang
+            with lock:
+                errors.append({"i": i, "error": repr(e)})
+            return
         with lock:
             results.append({"i": i, "ttfa_ms": ttfa, "steps": steps,
                             "wall_s": time.time() - t_submit,
-                            "queue_ms": t.get("queue_ms", 0.0)})
+                            "queue_ms": tim.get("queue_ms", 0.0)})
 
     rs = np.random.RandomState(0)
     # staggered arrivals; SOAK_SPREAD scales the spacing (0 → all at once)
@@ -110,7 +118,8 @@ def main():
     wall = time.time() - t_start
     batcher.close()
 
-    assert len(results) == N_REQUESTS, f"only {len(results)} completed"
+    assert len(results) == N_REQUESTS, \
+        f"only {len(results)} completed; errors: {errors}"
     total_steps = sum(r["steps"] for r in results)
     ttfas = sorted(r["ttfa_ms"] for r in results)
     payload = {
@@ -125,7 +134,9 @@ def main():
         "frames_per_s": round(total_steps / wall, 1),
         "aggregate_rtf": round(total_steps / 12.0 / wall, 2),
         "ttfa_ms_p50": round(ttfas[len(ttfas) // 2], 1),
-        "ttfa_ms_p95": round(ttfas[int(len(ttfas) * 0.95) - 1], 1),
+        "ttfa_ms_p95": round(
+            ttfas[min(len(ttfas) - 1,
+                      math.ceil(len(ttfas) * 0.95) - 1)], 1),  # nearest-rank
         "ttfa_ms_max": round(ttfas[-1], 1),
         "per_step_ms_effective": round(wall / total_steps * 1000, 2),
         "scheduler": {k: v for k, v in batcher.stats.items()

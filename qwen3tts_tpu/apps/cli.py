@@ -240,7 +240,8 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--max-seq-len", type=int, default=2048)
         sp.add_argument("--quantize", default=None, choices=sorted(QUANT_MODES),
                         help="int8 weight-only / native-int8-MXU decode "
-                        "(v5e: ~18.8x realtime streaming vs 13.9 bf16)")
+                        "(v5e: ~19.2x realtime streaming vs 13.9 bf16; "
+                        "-predictor/-talker suffixes quantize one component)")
         sp.add_argument("--kv-quant", action="store_true",
                         help="int8 KV cache (halves KV memory)")
         sp.add_argument("--seed", type=int, default=0)

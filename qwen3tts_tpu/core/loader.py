@@ -406,6 +406,11 @@ def convert_aux_tree(named_tensors: Dict[str, np.ndarray], prefix: str,
 # leftover names to alias.  See RUNBOOK.md for the full procedure.
 # ---------------------------------------------------------------------------
 
+# torch bookkeeping buffers that are never model weights: dropped before
+# conversion (reported under report.ignored, not as errors)
+_NONWEIGHT_RE = re.compile(
+    r"\.(num_batches_tracked|attn\.masked_bias|rotary_emb\.inv_freq)$")
+
 # (variant_prefix, canonical_prefix) — tried in order, first hit wins
 _PREFIX_ALIASES = [
     ("model.", ""),                      # whole-model "model." wrapper
@@ -496,7 +501,8 @@ def apply_name_aliases(
             out[name] = tensor
             continue
         cand = _EXACT_ALIASES.get(name)
-        if cand is None or not _recognized(cand, aux_names):
+        if (cand is None or not _recognized(cand, aux_names)
+                or cand in named_tensors):
             cand = None
             for variant, canon in _PREFIX_ALIASES:
                 if name.startswith(variant):
@@ -507,6 +513,11 @@ def apply_name_aliases(
                             and rewritten not in named_tensors):
                         cand = rewritten
                         break
+        if cand is not None and cand in out:
+            # two variant names rewrote to the same canonical key — keep the
+            # first, leave this one under its original (unrecognized) name so
+            # strict mode reports it instead of silently overwriting
+            cand = None
         if cand is not None:
             renames[name] = cand
             out[cand] = tensor
@@ -572,12 +583,14 @@ class ConversionReport:
         self.missing_layer_tensors: list[str] = []
         self.missing_groups: list[str] = []
         self.shape_mismatches: list[Tuple[str, tuple, tuple]] = []
+        self.unexpected_targets: list[str] = []
+        self.ignored: list[str] = []  # well-known non-weight buffers, dropped
 
     @property
     def ok(self) -> bool:
         return not (self.unmatched_sources or self.missing_targets
                     or self.missing_layer_tensors or self.missing_groups
-                    or self.shape_mismatches)
+                    or self.shape_mismatches or self.unexpected_targets)
 
     def _section(self, title, items, limit=30):
         if not items:
@@ -612,6 +625,14 @@ class ConversionReport:
         lines += self._section(
             "SHAPE mismatches (path: got vs expected)",
             [f"{p}: {g} vs {e}" for p, g, e in self.shape_mismatches], limit)
+        lines += self._section(
+            "UNEXPECTED produced leaves (source tensors that converted into "
+            "pytree paths the model does not define — e.g. EMA/statistics "
+            "buffers under speech_tokenizer./speaker_encoder.)",
+            sorted(self.unexpected_targets), limit)
+        lines += self._section(
+            "ignored non-weight buffers (dropped, not an error)",
+            sorted(self.ignored), limit)
         return "\n".join(lines)
 
     def raise_if_bad(self):
@@ -644,6 +665,14 @@ def convert_torch_checkpoint(
     if report is None:
         report = ConversionReport()
     expected = expected_bundle_shapes(cfg)
+    # drop well-known torch bookkeeping buffers up front: they are not
+    # weights and must neither demand an alias entry nor leak into the aux
+    # prefix conversion (convert_aux_tree consumes anything under its prefix)
+    dropped = [n for n in named_tensors if _NONWEIGHT_RE.search(n)]
+    if dropped:
+        named_tensors = {n: t for n, t in named_tensors.items()
+                         if not _NONWEIGHT_RE.search(n)}
+        report.ignored = sorted(dropped)
     named_tensors, report.renamed = apply_name_aliases(
         named_tensors, _aux_torch_names(expected))
     consumed: set = set()
@@ -716,6 +745,16 @@ def convert_torch_checkpoint(
         for k in sorted(set(produced) & set(expected))
         if produced[k] != expected[k]
     ]
+    # convert_aux_tree consumes ANY tensor under its prefix, so junk sources
+    # (EMA buffers, num_batches_tracked, …) become extra pytree leaves the
+    # model never defined: report them, and prune so they are never cast or
+    # uploaded to device
+    report.unexpected_targets = sorted(set(produced) - set(expected))
+    if report.unexpected_targets:
+        flat_all = flatten(bundle)
+        for k in report.unexpected_targets:
+            del flat_all[k]
+        bundle = unflatten(flat_all)
     report.matched = len(consumed)
 
     if strict:

@@ -123,12 +123,11 @@ def greedy_ctc_decode(token_ids: np.ndarray) -> str:
 
 
 def _resample(wav: np.ndarray, sr: int, target_sr: int) -> np.ndarray:
-    if sr == target_sr:
-        return wav
-    n_out = int(round(len(wav) * target_sr / sr))
-    return np.interp(
-        np.linspace(0, len(wav) - 1, max(n_out, 1)),
-        np.arange(len(wav)), wav).astype(np.float32)
+    # polyphase (anti-aliased) — linear interp would alias >8 kHz content
+    # of a 24 kHz demo reference into the 16 kHz mel band
+    from ..audio.wav import resample
+
+    return resample(np.asarray(wav, np.float32), sr, target_sr)
 
 
 class CTCRecognizer:
@@ -186,7 +185,13 @@ class CTCRecognizer:
                         self.cfg.sample_rate)
 
 
-def builtin_asr(ref: str = "random:ctc-base"):
-    """Demo-server hook factory: returns (audio, sr) -> str."""
+def builtin_asr(ref: str = "random:ctc-base", warmup: bool = True):
+    """Demo-server hook factory: returns (audio, sr) -> str.
+
+    ``warmup`` pre-compiles the jitted forward so the first /transcribe
+    click doesn't stall on XLA compilation (reference warms nano-parakeet
+    at startup, demo/server.py:44,244-247)."""
     rec = CTCRecognizer.from_pretrained(ref)
+    if warmup:
+        rec.warmup()
     return rec.transcribe

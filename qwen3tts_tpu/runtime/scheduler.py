@@ -555,7 +555,12 @@ class ContinuousBatcher:
                                      voc.stream_state(), 0)
         tpe0 = jnp.zeros((self.B, 1, H), eng.dtype)
         out = None
-        for tb in [b for b in TTH_BUCKETS if b <= (max_tth or TTH_BUCKETS[-1])]:
+        # always warm at least the smallest bucket: serve-time tth below it
+        # still rounds up to TTH_BUCKETS[0], and an empty list would leave
+        # `out` None below
+        warm = [b for b in TTH_BUCKETS
+                if b <= (max_tth or TTH_BUCKETS[-1])] or [TTH_BUCKETS[0]]
+        for tb in warm:
             out = eng.chunk_vocode_batched(
                 voc, state, jnp.zeros((self.B, tb, H), eng.dtype),
                 jnp.zeros((self.B,), jnp.int32), tpe0,

@@ -229,6 +229,12 @@ def test_queue_full_fails_stream_not_drops(tiny_tts, ref_wav, monkeypatch):
         b.close()
 
 
+def test_warmup_below_smallest_tth_bucket(batcher):
+    """warmup(max_tth=8) with TTH_BUCKETS starting at 16 must warm the
+    smallest bucket instead of crashing on an empty bucket list."""
+    batcher.warmup(max_tth=8)
+
+
 def test_timing_contract(batcher, ref_wav):
     h = batcher.submit("Check the timing dict.", "English", ref_wav, "ref",
                        max_new_tokens=16)

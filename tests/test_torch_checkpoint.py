@@ -165,6 +165,79 @@ def test_alias_table_normalizes_variant_names(bundles, tmp_path):
     _flat_allclose(a, b)
 
 
+def _write_torch_dir(tmp_path, cfg, named, name):
+    from safetensors.numpy import save_file
+
+    d = tmp_path / name
+    d.mkdir()
+    (d / "config.json").write_text(json.dumps(cfg.to_hf_dict()))
+    save_file({k: np.ascontiguousarray(v) for k, v in named.items()},
+              str(d / "model.safetensors"))
+    return d
+
+
+def test_junk_aux_tensors_reported_and_pruned(bundles, tmp_path):
+    """A tensor under the speech_tokenizer. prefix that maps to no model
+    leaf (e.g. an EMA buffer) must be reported as an unexpected produced
+    leaf — not silently injected into the bundle (advisor r3)."""
+    cfg, host, _, _ = bundles
+    named = loader.export_torch_layout(host, cfg)
+    named["speech_tokenizer.quantizer.codebook_ema.weight"] = \
+        np.zeros((4, 4), np.float32)
+    d = _write_torch_dir(tmp_path, cfg, named, "junk_aux")
+    report = loader.diagnose_torch_checkpoint(d)
+    assert not report.ok
+    assert any("codebook_ema" in t for t in report.unexpected_targets), \
+        report.summary()
+    assert "codebook_ema" in report.summary()
+    # non-strict load prunes the junk leaf instead of uploading it
+    rep2 = loader.ConversionReport()
+    bundle = loader.convert_torch_checkpoint(
+        dict(named), cfg, strict=False, report=rep2)
+    assert not any("codebook_ema" in k for k in loader.flatten(bundle))
+
+
+def test_nonweight_buffers_ignored(bundles, tmp_path):
+    """num_batches_tracked / rotary inv_freq style bookkeeping buffers are
+    dropped up front and never fail strict mode."""
+    cfg, host, _, _ = bundles
+    named = loader.export_torch_layout(host, cfg)
+    named["speaker_encoder.block1.bn.num_batches_tracked"] = \
+        np.zeros((), np.int64)
+    named["talker.model.layers.0.self_attn.rotary_emb.inv_freq"] = \
+        np.zeros((8,), np.float32)
+    d = _write_torch_dir(tmp_path, cfg, named, "bookkeeping")
+    report = loader.diagnose_torch_checkpoint(d)
+    assert report.ok, report.summary()
+    assert len(report.ignored) == 2
+    loader.load_checkpoint(d)  # strict load passes
+
+
+def test_alias_collision_not_silently_overwritten(bundles, tmp_path):
+    """Two variant names that would rewrite to the same canonical key must
+    not overwrite each other — the duplicate surfaces in the report."""
+    cfg, host, _, _ = bundles
+    named = loader.export_torch_layout(host, cfg)
+    w = np.asarray(named.pop("talker.text_projection.weight"))
+    # two DIFFERENT variant spellings of the same tensor; both alias-rewrite
+    # to the canonical name — only one may land, the other must be reported
+    named["model.talker.text_projection.weight"] = w
+    named["talker.text_proj.weight"] = w + 1.0
+    d = _write_torch_dir(tmp_path, cfg, named, "collision")
+    report = loader.diagnose_torch_checkpoint(d)
+    assert not report.ok
+    assert len(report.unmatched_sources) == 1
+    assert report.unmatched_sources[0] in (
+        "model.talker.text_projection.weight", "talker.text_proj.weight")
+    # exactly one of the two was accepted (no silent overwrite, no data loss
+    # ambiguity): the canonical leaf exists and is one of the two candidates
+    rep2 = loader.ConversionReport()
+    bundle = loader.convert_torch_checkpoint(
+        dict(named), cfg, strict=False, report=rep2)
+    got = np.asarray(bundle["talker"]["text_projection"]["w"])
+    assert got.shape == w.T.shape
+
+
 def test_check_checkpoint_cli(bundles, capsys):
     """The check-checkpoint subcommand prints an OK report for a complete
     torch-layout dir and exits 0."""
