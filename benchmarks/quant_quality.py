@@ -16,13 +16,14 @@ from __future__ import annotations
 import argparse
 import gc
 import json
+import os
 import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
-from common import (LANGUAGE, TEXT, load_model, make_ref_audio,  # noqa: E402
-                    model_name, write_results)
+from common import (LANGUAGE, TEXT, device_tag, load_model,  # noqa: E402
+                    make_ref_audio, model_name, write_results)
 
 from qwen3tts_tpu.utils.quality import (  # noqa: E402
     fixed_generation, log_mel_distance, token_agreement, waveform_snr_db)
@@ -101,6 +102,13 @@ def main():
                 art.write_text(json.dumps(data, indent=2))
                 print(f"patched {art.name}", file=sys.stderr)
 
+    # merge with previously recorded modes so a partial --modes run never
+    # erases the other modes' fidelity records from the device artifact
+    out = Path(os.environ.get("BENCH_OUT",
+                              f"bench_results_{device_tag()}.json"))
+    if out.exists():
+        prior = json.loads(out.read_text()).get("quant_quality", {})
+        results = {**prior, **results}
     write_results("quant_quality", results)
 
 
