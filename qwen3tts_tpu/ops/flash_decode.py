@@ -98,8 +98,15 @@ def _kernel(
             for c in s_dmas(i, slot):
                 c.wait()
 
-    # warm up the pipeline
-    start_all(i0, jax.lax.rem(i0, 2))
+    # warm up the pipeline — ONLY when the row has at least one live block.
+    # A row with pad > pos (e.g. a mis-joined batch row) gives i0 >= nb: the
+    # fori_loop below is empty, so an unconditional start here would leave
+    # an un-waited DMA/semaphore behind — a hard device abort at kernel end,
+    # not a numeric error.  Guarded, such a row falls through to the l==0
+    # divide guard and returns zeros.
+    @pl.when(i0 < nb)
+    def _():
+        start_all(i0, jax.lax.rem(i0, 2))
 
     m_scr[...] = jnp.full_like(m_scr, NEG_INF)
     l_scr[...] = jnp.zeros_like(l_scr)

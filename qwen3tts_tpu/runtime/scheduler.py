@@ -540,14 +540,31 @@ class ContinuousBatcher:
         H = self.model.cfg.talker.hidden_size
         eng.warmup_all(self.policy, self.pred_policy,
                        chunk_sizes=(), max_tth=max_tth)
-        state = eng.prefill(
-            jnp.zeros((self.B, PREFILL_BUCKETS[0], H), eng.dtype),
-            jax.random.PRNGKey(0), self.policy, knobs=self.knobs)
-        for Tb in prefill_buckets:
+        # Compile each bucket's batched prefill AND join executable with a
+        # LEGAL state: join_row requires the shared position to be >= the
+        # joining prompt's bucket (engine.py:666-668).  The old shortcut
+        # prefilled once at the smallest bucket and joined every larger
+        # bucket into it — an underflowing row whose garbage per-row bounds
+        # sent the Pallas flash-decode kernel out of bounds (hard TPU abort
+        # on the first subsequent decode).  Sync after every program so a
+        # slow compile service never accumulates an unbounded queue.
+        state = None
+        for Tb in sorted(set(prefill_buckets)):
+            if state is not None:
+                eng.release(state)
+            state = eng.prefill(
+                jnp.zeros((self.B, Tb, H), eng.dtype),
+                jax.random.PRNGKey(0), self.policy, knobs=self.knobs)
+            jax.block_until_ready(jax.tree.leaves(state)[0])
             state = eng.join_row(
                 state, 0, jnp.zeros((1, Tb, H), eng.dtype),
                 policy=self.policy, pred_policy=self.pred_policy,
-                knobs=self.knobs)
+                knobs=self.knobs, pos_hint=Tb)
+            jax.block_until_ready(jax.tree.leaves(state)[0])
+        if state is None:  # no prefill buckets requested: minimal state
+            state = eng.prefill(
+                jnp.zeros((self.B, PREFILL_BUCKETS[0], H), eng.dtype),
+                jax.random.PRNGKey(0), self.policy, knobs=self.knobs)
         # fused batched decode+vocode program (every tth bucket, so a
         # mid-serving re-bucket never hits a compile stall) + row scatter
         voc = self.model.vocoder
@@ -567,6 +584,6 @@ class ContinuousBatcher:
                 self.policy, self.pred_policy, self.chunk_size, vst,
                 knobs=self.knobs)
             state, vst = out[0], out[6]
-        jax.block_until_ready(out[5])
+            jax.block_until_ready(out[5])
         eng.release(state)
         logger.info("batcher warmup: %.1fs", time.time() - t0)

@@ -78,3 +78,25 @@ def test_batched_fully_padded_row_is_finite():
     out = flash_decode_batched(q, k, v, jnp.int32(10), jnp.asarray([0, 64]),
                                block_size=64)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_pad_beyond_pos_row_is_zero_and_starts_no_dma():
+    """A row whose pad exceeds pos has i0 >= nb: the kernel must not start
+    its pipeline-warmup DMA (un-waited DMA semaphores hard-abort real TPUs —
+    this was the ContinuousBatcher.warmup 'TPU backend error (Aborted)'),
+    and the row's output is exactly zero while live rows stay correct."""
+    from qwen3tts_tpu.ops.flash_decode import (flash_decode_batched,
+                                               flash_decode_reference)
+
+    B, S, KVH, G, D = 3, 256, 2, 2, 64
+    NH = KVH * G
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, NH, D), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, S, KVH, D), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, S, KVH, D), jnp.float32)
+    pos, pads = 33, [0, 200, 5]  # row 1 mis-joined: pad 200 > pos 33
+    out = np.asarray(flash_decode_batched(
+        q, k, v, jnp.int32(pos), jnp.asarray(pads), block_size=64))
+    assert np.allclose(out[1], 0.0)
+    for b in (0, 2):
+        ref = flash_decode_reference(q[b], k[b], v[b], pos, pads[b])
+        np.testing.assert_allclose(out[b], np.asarray(ref), atol=1e-5)

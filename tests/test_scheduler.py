@@ -32,17 +32,24 @@ def test_two_requests_batch_and_third_joins(batcher, tiny_tts, ref_wav):
     h1 = batcher.submit("First utterance.", "English", ref_wav, "ref")
     h2 = batcher.submit("A different second text.", "English", ref_wav, "ref")
     results = {}
+    first_chunk = threading.Event()
 
     def drain(name, h):
-        results[name] = _collect(h)
+        chunks = []
+        for a, _, _ in h.chunks():
+            chunks.append(a)
+            first_chunk.set()
+        results[name] = (np.concatenate(chunks) if chunks
+                         else np.zeros(0, np.float32))
 
     t1 = threading.Thread(target=drain, args=("a", h1))
     t2 = threading.Thread(target=drain, args=("b", h2))
     t1.start(); t2.start()
-    # let the batch get rolling, then submit a third — it must join the
-    # RUNNING batch (both rows busy until their budget, so the join path
-    # is the only way it gets served before the batch ends)
-    time.sleep(0.5)
+    # submit the third as soon as the batch has PROVABLY started streaming
+    # (a fixed sleep can overshoot a fully-warmed 40-step batch) — it must
+    # join the RUNNING batch (both rows busy until their budget, so the
+    # join path is the only way it gets served before the batch ends)
+    assert first_chunk.wait(timeout=300), "batch never produced a chunk"
     h3 = batcher.submit("Late third arrival.", "English", ref_wav, "ref")
     results["c"] = _collect(h3)
     t1.join(timeout=600); t2.join(timeout=600)
