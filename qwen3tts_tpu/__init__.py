@@ -6,6 +6,28 @@ CUDA-graph reference engine `faster-qwen3-tts` (see SURVEY.md)."""
 import os as _os
 
 
+def _host_fingerprint():
+    """Short stable id of the local CPU's ISA surface (machine arch + the
+    /proc/cpuinfo feature flags), used to partition the XLA compile cache
+    per host type."""
+    try:
+        import hashlib
+        import platform
+
+        txt = platform.machine()
+        try:
+            with open("/proc/cpuinfo") as f:
+                for line in f:
+                    if line.startswith(("flags", "Features")):
+                        txt += line
+                        break
+        except OSError:
+            pass
+        return hashlib.sha1(txt.encode()).hexdigest()[:8]
+    except Exception:  # pragma: no cover
+        return "host"
+
+
 def _enable_compile_cache():
     """Persistent XLA compilation cache: the durable analog of "graphs already
     captured" (SURVEY.md §5 checkpoint/resume row).  On the tunneled-TPU
@@ -18,11 +40,17 @@ def _enable_compile_cache():
             "QWEN3TTS_XLA_CACHE",
             _os.path.join(_os.path.dirname(_os.path.dirname(__file__)), ".xla_cache"),
         )
-        # Key the cache by the platform set: under the tunneled-TPU runtime
-        # even CPU-targeted programs are compiled remotely with different
-        # machine features, and loading those locally risks SIGILL.
+        # Key the cache by the platform set AND a host CPU fingerprint:
+        # XLA:CPU persists AOT machine code keyed only by program, so an
+        # entry compiled on a host with e.g. +prefer-no-scatter SIGABRTs
+        # when loaded on a host without it.  The platform component keeps
+        # tunneled-TPU (axon) entries separate; the fingerprint invalidates
+        # everything when the local machine changes (one recompile per new
+        # host beats a hard abort).
         platforms = str(getattr(jax.config, "jax_platforms", None) or "default")
-        cache_dir = _os.path.join(cache_dir, platforms.replace(",", "-"))
+        cache_dir = _os.path.join(
+            cache_dir,
+            platforms.replace(",", "-") + "-" + _host_fingerprint())
         _os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         # persist EVERYTHING: on the tunneled TPU even trivial op-dispatch

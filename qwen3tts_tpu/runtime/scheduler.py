@@ -20,10 +20,11 @@ from __future__ import annotations
 
 import hashlib
 import logging
+import os
 import queue
 import threading
 import time
-from collections import OrderedDict
+from collections import OrderedDict, deque
 from dataclasses import dataclass, field
 from typing import Dict, Generator, List, Optional, Tuple
 
@@ -42,6 +43,11 @@ from .engine import (
 )
 
 logger = logging.getLogger(__name__)
+
+# per-chunk serving-loop timing trace (join/dispatch/fetch split) — the
+# observability hook for diagnosing batched-serving walls on tunneled
+# runtimes where host round trips dominate
+_TRACE = os.environ.get("QWEN3TTS_BATCH_TRACE", "0") == "1"
 
 _SENTINEL = object()
 
@@ -237,6 +243,7 @@ class ContinuousBatcher:
         eng, B = self.engine, self.B
         H = self.model.cfg.talker.hidden_size
         self._stats["batches"] += 1
+        t_batch0 = time.time()
 
         # --- stacked initial prefill: rows left-padded to the common length
         #     with true per-row pad counts (masks + RoPE need them); rows
@@ -289,45 +296,80 @@ class ContinuousBatcher:
         for req in initial:
             self._start_request(req)
 
-        # --- pipelined chunk loop.  One decode chunk is always in flight;
-        # its results are fetched while the NEXT chunk already runs on
-        # device.  Mutations (joins, force-done) can only touch a state the
-        # host owns, so they are decided at fetch time and applied one
-        # boundary later, just before that iteration's dispatch — a join or
-        # cancel lands one chunk (~chunk_size/12 s) after its trigger, and
-        # post-EOS speculative chunks exit their while_loop in zero
-        # iterations.  Decode AND vocode run as ONE fused batched program
-        # (chunk_vocode_batched): audio for every row comes back in the
-        # same single fetch as the chunk bookkeeping — the earlier
-        # per-row stream-decoder feeds paid B extra dispatches plus a
-        # codes re-upload per chunk, which dominated the batch wall on
-        # tunneled runtimes.
+        # --- deep-pipelined chunk loop.  Up to ``depth`` decode chunks are
+        # in flight at once; each output's host transfer is started at
+        # dispatch time (copy_to_host_async), so on tunneled runtimes —
+        # where one round trip costs tens of ms — the per-chunk fetch
+        # overlaps both the device running later chunks AND the other
+        # chunks' transfers.  A 1-deep pipeline serializes one full fetch
+        # per chunk and bounds the whole batch at wire latency (measured
+        # ~8 ms/frame effective on a 30 ms-RTT tunnel vs ~3.5 device-bound).
+        #
+        # Mutations (joins, force-done) apply to the pipeline TAIL state —
+        # the one the host still owns — the iteration after they are
+        # decided at fetch time.  Two occupancy views keep that honest:
+        # ``row_owner`` is occupancy at the tail (set at join, cleared at
+        # retirement) and drives admission; ``rows`` is occupancy as seen
+        # by the chunk being FETCHED (a join becomes visible only when the
+        # first chunk dispatched after it is fetched — each queue entry
+        # carries its activations).  Post-EOS speculative chunks exit
+        # their while_loop in zero iterations, so overshoot stays cheap;
+        # budget/cancel-forced rows burn at most ``depth`` extra chunks
+        # before the force lands at the tail (their frames are trimmed at
+        # emission either way).  Decode AND vocode run as ONE fused
+        # batched program (chunk_vocode_batched): audio for every row
+        # comes back in the same single fetch as the chunk bookkeeping.
         limit = eng.max_seq_len - 1
+        depth = int(os.environ.get("QWEN3TTS_BATCH_PIPELINE", "3"))
         deferred_joins: List[Tuple[int, _Request]] = []
         pending_force = np.zeros((B,), bool)
+        row_owner: List[Optional[_Request]] = list(rows)
+        q: deque = deque()
+        cur_state, cur_voc = state, voc_state
+        pos_lb = pos  # actual position through the last FETCHED chunk
+        inflight_steps = 0  # planned upper bound of steps in flight
+        activations: List[Tuple[int, _Request]] = []  # joins awaiting fetch
 
-        def dispatch(st, vst):
-            return eng.chunk_vocode_batched(
-                voc, st, tth_dev, jnp.asarray(tth_lens), tpe_dev,
-                self.policy, self.pred_policy, self.chunk_size, vst,
+        def dispatch_one():
+            nonlocal cur_state, cur_voc, inflight_steps, activations
+            out = eng.chunk_vocode_batched(
+                voc, cur_state, tth_dev, jnp.asarray(tth_lens), tpe_dev,
+                self.policy, self.pred_policy, self.chunk_size, cur_voc,
                 knobs=self.knobs)
+            cur_state, cur_voc = out[0], out[6]
+            # per-row done AFTER this chunk; `| False` copies it out of the
+            # state pytree so the next dispatch's donation can't invalidate it
+            done_snap = cur_state["done"] | False
+            for arr in (out[2], out[3], out[5], done_snap):  # n, lens, audio
+                try:
+                    arr.copy_to_host_async()
+                except (AttributeError, NotImplementedError):
+                    pass
+            q.append((out, done_snap, activations))
+            activations = []
+            inflight_steps += self.chunk_size
 
-        in_flight = dispatch(state, voc_state)
+        dispatch_one()
+        t_chunk = time.time()
+        if _TRACE:
+            logger.info("batch start: rows=%d setup=%.1fms (prefill+prime+"
+                        "first dispatch)", len(initial),
+                        (t_chunk - t_batch0) * 1e3)
         while True:
-            st = in_flight[0]
-            vst = in_flight[6]
-            # snapshot BEFORE the next dispatch donates st's buffers
-            done_snapshot = st["done"] | False
-            just_joined: List[Tuple[int, _Request]] = []
+            # --- apply mutations decided at the previous fetch to the TAIL.
+            # Order matters: force-done lands BEFORE joins, so a join into a
+            # row whose previous occupant was budget-forced this iteration
+            # cleanly resets the row's done flag.
             if pending_force.any():
-                st = dict(st)
-                st["done"] = st["done"] | jnp.asarray(pending_force)
+                cur_state = dict(cur_state)
+                cur_state["done"] = (cur_state["done"]
+                                     | jnp.asarray(pending_force))
                 pending_force = np.zeros((B,), bool)
             for b, req in deferred_joins:
-                st = eng.join_row(
-                    st, b, jnp.asarray(req.embeds, eng.dtype),
+                cur_state = eng.join_row(
+                    cur_state, b, jnp.asarray(req.embeds, eng.dtype),
                     policy=self.policy, pred_policy=self.pred_policy,
-                    knobs=self.knobs, pos_hint=pos,
+                    knobs=self.knobs, pos_hint=pos_lb,
                 )
                 L = req.trailing.shape[1]
                 if L > tth_dev.shape[1]:  # re-bucket the shared tth array
@@ -344,22 +386,55 @@ class ContinuousBatcher:
                 tpe[b] = req.tpe[0]
                 tpe_dev = tpe_dev.at[b].set(jnp.asarray(req.tpe[0], eng.dtype))
                 tth_lens[b] = L
-                just_joined.append((b, req))
-                self._stats["joined_mid_batch"] += 1
                 # reset + prime the row's slice of the shared vocoder state
                 # (its first frames appear in the chunk dispatched below)
-                vst = voc.scatter_stream_row(vst, self._primed_state(req), b)
+                cur_voc = voc.scatter_stream_row(
+                    cur_voc, self._primed_state(req), b)
+                row_owner[b] = req
+                activations.append((b, req))
+                self._stats["joined_mid_batch"] += 1
+                self._start_request(req)
             deferred_joins = []
-            next_in_flight = dispatch(st, vst)
+            t_join_done = time.time()
 
-            # --- fetch the current chunk (the next one is already running)
-            _, _frames, n, lens, done_all, audio, _ = in_flight
+            # --- keep the pipeline full.  Growth is bounded per iteration
+            # so the oldest chunk's fetch (someone's TTFA) is never starved
+            # behind a dispatch burst; dispatch stops when the planned
+            # position would exceed the window or nothing is live at the
+            # tail (the device loop also self-clamps at max_seq_len-1).
+            grown = 0
+            while (len(q) <= depth and grown < 2
+                   and pos_lb + inflight_steps < limit
+                   and any(r is not None for r in row_owner)):
+                dispatch_one()
+                grown += 1
+            t_dispatch_done = time.time()
+            if not q:
+                break  # nothing in flight, nothing live to dispatch
+
+            # --- fetch the oldest in-flight chunk (transfer began at its
+            # dispatch; later chunks are already running / transferring)
+            out, done_snap, acts = q.popleft()
+            for b, req in acts:  # joins visible from this chunk on
+                rows[b] = req
+                admitted.remove(req)
+            _, _frames, n, lens, _done_all, audio, _ = out
             n_val, lens_np, audio_np, row_done = jax.device_get(
-                (n, lens, audio, done_snapshot))
-            pos += int(n_val)
+                (n, lens, audio, done_snap))
+            inflight_steps -= self.chunk_size
+            pos_lb += int(n_val)
+            if _TRACE:
+                now = time.time()
+                logger.info(
+                    "chunk wall=%.1fms join=%.1f dispatch=%.1f fetch=%.1f "
+                    "q=%d joins=%d live=%d pos=%d",
+                    (now - t_chunk) * 1e3, (t_join_done - t_chunk) * 1e3,
+                    (t_dispatch_done - t_join_done) * 1e3,
+                    (now - t_dispatch_done) * 1e3, len(q), len(acts),
+                    sum(r is not None for r in rows), pos_lb)
+                t_chunk = now
 
             # --- emit per-row audio; retire rows at EOS / budget.
-            # ``rows`` here reflects the chunk just fetched (pre-join).
             # ``audio_np[b]`` holds the row's whole vocoded chunk; the
             # valid prefix (causal codec) is the deliverable slice.
             retires: List[int] = []
@@ -380,51 +455,52 @@ class ContinuousBatcher:
                         self._stats["cancelled"] += 1
                     if not bool(row_done[b]):
                         # over-budget OR cancelled: mark done on device too
-                        # (applied next boundary) so the row stops burning
-                        # decode steps
+                        # (applied at the tail next iteration) so the row
+                        # stops burning decode steps
                         pending_force[b] = True
                     retires.append(b)
             for b in retires:
                 self._finish_request(rows[b])
                 rows[b] = None
-            for b, req in just_joined:  # visible from the NEXT chunk on
-                rows[b] = req
-                admitted.remove(req)
-                self._start_request(req)
+                row_owner[b] = None  # slot reusable at the tail
 
-            # --- decide admissions for the next boundary
+            # --- decide admissions; they join at the tail next iteration
             for b in range(B):
-                if rows[b] is not None or pending_force[b] or any(
+                if row_owner[b] is not None or any(
                         jb == b for jb, _ in deferred_joins):
                     continue
-                req = self._peek_admissible(pos, limit)
+                req = self._peek_admissible(pos_lb, pos_lb + inflight_steps,
+                                            limit)
                 if req is None:
                     break
                 deferred_joins.append((b, req))
                 admitted.append(req)
 
             self._stats["active_rows"] = sum(r is not None for r in rows)
-            live = any(r is not None for r in rows)
-            if pos >= limit and live:
-                # bounded-window truncation (same contract as batch-1)
-                for b in range(B):
-                    if rows[b] is not None:
-                        self._finish_request(rows[b])
-                        rows[b] = None
-                live = False
-                # admitted-but-not-yet-joined requests go back to pending:
-                # they will seed the NEXT batch (dropping them would hang
-                # their clients).  Unreachable while admission requires
-                # 64 spare positions and chunks are < 64 — kept as armor.
-                for _, req in deferred_joins:
-                    admitted.remove(req)
-                    self._pending.put(req)
-                deferred_joins = []
-            if not live and not deferred_joins:
-                eng.release(next_in_flight[0])
-                self._stats["active_rows"] = 0
-                return
-            in_flight = next_in_flight
+            if not any(r is not None for r in row_owner) \
+                    and not deferred_joins:
+                # batch over.  Chunks still in flight carry no deliverable
+                # frames: device-done rows generate zero-length chunks, and
+                # forced rows' overshoot is over-budget (trimmed at emission
+                # anyway) — skip their fetches entirely.
+                break
+
+        # --- wind-down.  Any request still owned at the tail hit the
+        # bounded window (same truncation contract as batch-1).  Normally
+        # unreachable while admission requires 64 spare positions and
+        # chunks are < 64 — kept as armor.
+        for b in range(B):
+            if row_owner[b] is not None:
+                self._finish_request(row_owner[b])
+                rows[b] = None
+                row_owner[b] = None
+        # admitted-but-never-joined requests seed the NEXT batch (dropping
+        # them would hang their clients)
+        for _, req in deferred_joins:
+            admitted.remove(req)
+            self._pending.put(req)
+        eng.release(cur_state)
+        self._stats["active_rows"] = 0
 
     # ---- per-request helpers
 
@@ -509,10 +585,16 @@ class ContinuousBatcher:
             except queue.Full:  # pragma: no cover
                 pass
 
-    def _peek_admissible(self, pos: int, limit: int) -> Optional[_Request]:
-        """Pop the next pending request admissible at cache position ``pos``:
-        its prompt bucket must fit below ``pos`` (join splices [pos-Tb, pos))
-        and the window must have room for it to speak."""
+    def _peek_admissible(self, pos_lb: int, pos_ub: int,
+                         limit: int) -> Optional[_Request]:
+        """Pop the next pending request admissible into the running batch.
+        With chunks in flight the true device position at the pipeline tail
+        is only bracketed host-side: ``pos_lb`` (through the last fetched
+        chunk) lower-bounds it, ``pos_ub`` (plus planned in-flight steps)
+        upper-bounds it.  Each check uses its conservative side: the prompt
+        bucket must fit below ``pos_lb`` (join splices [pos-Tb, pos) — an
+        underflow corrupts the row), and the window must have room past
+        ``pos_ub`` for the row to speak."""
         try:
             req = self._pending.queue[0]  # peek
         except IndexError:
@@ -520,9 +602,9 @@ class ContinuousBatcher:
         if req is _SENTINEL:
             return None
         Tb = bucket_for(req.embeds.shape[1])
-        if Tb > pos:
+        if Tb > pos_lb:
             return None  # too early in the batch window — wait
-        if pos + min(req.max_new_tokens, 64) > limit:
+        if pos_ub + min(req.max_new_tokens, 64) > limit:
             return None  # not enough window left to bother joining
         try:
             got = self._pending.get_nowait()

@@ -210,6 +210,44 @@ def test_eight_concurrent_mixed_lengths(tiny_tts, ref_wav):
         b.close()
 
 
+@pytest.mark.parametrize("depth", [1, 4])
+def test_pipeline_depth_invariants(tiny_tts, ref_wav, monkeypatch, depth):
+    """The deep-pipelined serving loop (joins/forces applied at the pipeline
+    TAIL, row visibility deferred to the first chunk dispatched after the
+    join) must preserve the serving contract at any depth: every request —
+    batch-seeding or mid-batch joiner — gets exactly its budget of finite
+    audio and a clean retirement."""
+    monkeypatch.setenv("QWEN3TTS_BATCH_PIPELINE", str(depth))
+    spf = tiny_tts.vocoder.spf
+    b = ContinuousBatcher(tiny_tts, max_batch=2, chunk_size=4,
+                          max_new_tokens=64, policy=NO_EOS)
+    try:
+        lengths = [8, 20, 8, 12, 16]
+        handles = [
+            b.submit(f"Depth {depth} utterance {i}.", "English", ref_wav,
+                     "ref", max_new_tokens=n)
+            for i, n in enumerate(lengths)
+        ]
+        outs = {}
+        threads = [
+            threading.Thread(target=lambda i, h: outs.__setitem__(i, _collect(h)),
+                             args=(i, h))
+            for i, h in enumerate(handles)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        assert sorted(outs) == list(range(5))
+        for i, n in enumerate(lengths):
+            assert len(outs[i]) == n * spf, (depth, i, n, len(outs[i]))
+            assert np.isfinite(outs[i]).all()
+        assert b.stats["served"] == 5
+        assert b.stats["joined_mid_batch"] >= 1
+    finally:
+        b.close()
+
+
 def test_queue_full_fails_stream_not_drops(tiny_tts, ref_wav, monkeypatch):
     """ADVICE r2: a consumer that stops pulling must get a FAILED stream
     (error + prompt retirement), never silently gapped audio."""
