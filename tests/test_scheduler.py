@@ -322,3 +322,67 @@ def test_worker_failure_fails_live_streams_not_hangs(tiny_tts, ref_wav,
         assert len(_collect(h2)) == 8 * b.model.vocoder.spf
     finally:
         b.close()
+
+
+def test_randomized_stress_mixed_cancels_and_budgets(tiny_tts, ref_wav,
+                                                     monkeypatch):
+    """Seeded concurrency fuzz over the full serving surface: staggered
+    submits, mixed budgets, cancels at random points (including before the
+    first chunk), under a non-default pipeline depth.  Contract: every
+    uncancelled request gets exactly its budget of finite audio, every
+    cancelled request's stream still terminates, and the batcher retires
+    everything (no stuck rows, no lost requests)."""
+    rng = np.random.default_rng(1337)
+    monkeypatch.setenv("QWEN3TTS_BATCH_PIPELINE", "5")
+    spf = tiny_tts.vocoder.spf
+    b = ContinuousBatcher(tiny_tts, max_batch=2, chunk_size=4,
+                          max_new_tokens=64, policy=NO_EOS)
+    N = 12
+    plans = []  # (n_tokens, cancel_after_chunks or None, submit_delay_s)
+    for i in range(N):
+        n = int(rng.integers(4, 41))
+        cancel_after = int(rng.integers(0, 3)) if rng.random() < 0.3 else None
+        plans.append((n, cancel_after, float(rng.random()) * 0.3))
+    outs, errs = {}, {}
+
+    def run(i, n, cancel_after, delay):
+        time.sleep(delay)
+        try:
+            h = b.submit(f"Stress utterance {i}.", "English", ref_wav, "ref",
+                         max_new_tokens=n)
+            if cancel_after == 0:
+                h.cancel()  # possibly before admission
+            chunks = []
+            for k, (a, _, _) in enumerate(h.chunks()):
+                chunks.append(a)
+                if cancel_after is not None and k + 1 >= cancel_after:
+                    h.cancel()
+            outs[i] = (np.concatenate(chunks) if chunks
+                       else np.zeros(0, np.float32))
+        except Exception as e:  # pragma: no cover - fail loudly below
+            errs[i] = e
+
+    try:
+        threads = [threading.Thread(target=run, args=(i, *p))
+                   for i, p in enumerate(plans)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        assert not errs, errs
+        assert sorted(outs) == list(range(N)), "a stream never terminated"
+        for i, (n, cancel_after, _) in enumerate(plans):
+            assert np.isfinite(outs[i]).all(), i
+            if cancel_after is None:
+                assert len(outs[i]) == n * spf, (i, n, len(outs[i]))
+            else:
+                assert len(outs[i]) <= n * spf, (i, n, len(outs[i]))
+        assert b.stats["served"] == N
+        assert b.stats["active_rows"] == 0
+        assert b.stats["queue_depth"] == 0
+        # the batcher is still healthy after the storm
+        h = b.submit("Post-storm sanity.", "English", ref_wav, "ref",
+                     max_new_tokens=8)
+        assert len(_collect(h)) == 8 * spf
+    finally:
+        b.close()
