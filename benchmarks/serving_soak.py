@@ -13,9 +13,12 @@ and records what a serving operator actually cares about:
 Env knobs: MODEL_SIZE, SOAK_REQUESTS, SOAK_BATCH, SOAK_KV_QUANT=1,
 SOAK_QUANT=int8|w8a8 (weight quantization), SOAK_SPREAD (arrival-spread
 scale, default 1.0; ~0 = all requests arrive at once → measures the
-scheduler's saturated ceiling rather than the staggered-arrival profile).
-Writes the ``serving_soak[_kvq|_int8|_saturated]`` record via the shared
-artifact machinery.
+scheduler's saturated ceiling rather than the staggered-arrival profile),
+SOAK_RAMP="2,4" (first_chunks TTFA ramp re-run at batch start and after
+every mid-batch join), SOAK_TAG (override the artifact record name, e.g.
+a light-load TTFA profile with few spread-out requests).
+Writes the ``serving_soak[_kvq|_int8|_saturated|_ramp]`` record via the
+shared artifact machinery.
 """
 from __future__ import annotations
 
@@ -37,6 +40,7 @@ MAX_BATCH = int(os.environ.get("SOAK_BATCH", 8))
 KV_QUANT = os.environ.get("SOAK_KV_QUANT", "0") == "1"
 QUANT = os.environ.get("SOAK_QUANT") or None
 SPREAD = float(os.environ.get("SOAK_SPREAD", "1.0"))
+RAMP = tuple(int(x) for x in os.environ.get("SOAK_RAMP", "").split(",") if x)
 CHUNK = 8
 TEXTS = [
     "A short utterance.",
@@ -64,7 +68,8 @@ def main():
     # fixed-load comparison; every request runs exactly its budget
     policy = GenerationPolicy(do_sample=True, min_new_tokens=10_000)
     batcher = ContinuousBatcher(model, max_batch=MAX_BATCH, chunk_size=CHUNK,
-                                max_new_tokens=max(STEP_BUDGETS), policy=policy)
+                                max_new_tokens=max(STEP_BUDGETS), policy=policy,
+                                first_chunks=RAMP)
     t0 = time.time()
     # max_tth=64 covers this bench's trailing-hidden lengths with 2 fused
     # compiles instead of all 5 tth buckets (the fused batched decode+vocode
@@ -139,6 +144,7 @@ def main():
                       math.ceil(len(ttfas) * 0.95) - 1)], 1),  # nearest-rank
         "ttfa_ms_max": round(ttfas[-1], 1),
         "per_step_ms_effective": round(wall / total_steps * 1000, 2),
+        "first_chunks": list(RAMP),
         "scheduler": {k: v for k, v in batcher.stats.items()
                       if k != "queue_depth"},
     }
@@ -149,6 +155,9 @@ def main():
         tag += f"_{QUANT}"
     if SPREAD < 0.5:
         tag += "_saturated"
+    if RAMP:
+        tag += "_ramp"
+    tag = os.environ.get("SOAK_TAG", tag)
     write_results(tag, payload)
 
 

@@ -225,7 +225,8 @@ def serve(model, registry: VoiceRegistry, host: str = "0.0.0.0", port: int = 800
         from ..runtime.scheduler import ContinuousBatcher
 
         batcher = ContinuousBatcher(model, max_batch=max_batch,
-                                    chunk_size=chunk_size)
+                                    chunk_size=chunk_size,
+                                    first_chunks=(2, 4))
     state = TTSState(model, registry, chunk_size, batcher=batcher)
     httpd = ThreadingHTTPServer((host, port), make_handler(state))
     httpd.tts_state = state  # exposes the batcher for tests / shutdown

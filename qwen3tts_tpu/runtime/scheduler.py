@@ -113,10 +113,19 @@ class ContinuousBatcher:
         max_new_tokens: int = 2048,
         policy: Optional[GenerationPolicy] = None,
         pred_policy: Optional[SamplingPolicy] = None,
+        first_chunks: Tuple[int, ...] = (),
     ):
         self.model = model
         self.B = max_batch
         self.chunk_size = chunk_size
+        # TTFA ramp (same contract as loops.py first_chunks): after a batch
+        # starts AND after every mid-batch join, the next dispatches use
+        # these smaller chunk sizes before settling at ``chunk_size`` — the
+        # newest row's first audio leaves after e.g. 2 steps instead of 8.
+        # All rows share each dispatch's size, so a join briefly shrinks
+        # everyone's chunks (a small throughput tax, bounded by the ramp
+        # length); leave empty to serve at fixed chunk_size.
+        self.first_chunks = tuple(first_chunks)
         self.max_new_tokens = max_new_tokens
         self.policy = policy or GenerationPolicy()
         self.pred_policy = pred_policy or SamplingPolicy()
@@ -330,11 +339,14 @@ class ContinuousBatcher:
         inflight_steps = 0  # planned upper bound of steps in flight
         activations: List[Tuple[int, _Request]] = []  # joins awaiting fetch
 
+        ramp: List[int] = list(self.first_chunks)  # upcoming dispatch sizes
+
         def dispatch_one():
             nonlocal cur_state, cur_voc, inflight_steps, activations
+            size = ramp.pop(0) if ramp else self.chunk_size
             out = eng.chunk_vocode_batched(
                 voc, cur_state, tth_dev, jnp.asarray(tth_lens), tpe_dev,
-                self.policy, self.pred_policy, self.chunk_size, cur_voc,
+                self.policy, self.pred_policy, size, cur_voc,
                 knobs=self.knobs)
             cur_state, cur_voc = out[0], out[6]
             # per-row done AFTER this chunk; `| False` copies it out of the
@@ -345,9 +357,9 @@ class ContinuousBatcher:
                     arr.copy_to_host_async()
                 except (AttributeError, NotImplementedError):
                     pass
-            q.append((out, done_snap, activations))
+            q.append((out, done_snap, activations, size))
             activations = []
-            inflight_steps += self.chunk_size
+            inflight_steps += size
 
         dispatch_one()
         t_chunk = time.time()
@@ -394,6 +406,8 @@ class ContinuousBatcher:
                 activations.append((b, req))
                 self._stats["joined_mid_batch"] += 1
                 self._start_request(req)
+            if deferred_joins:
+                ramp[:] = self.first_chunks  # joiner TTFA: re-run the ramp
             deferred_joins = []
             t_join_done = time.time()
 
@@ -414,14 +428,14 @@ class ContinuousBatcher:
 
             # --- fetch the oldest in-flight chunk (transfer began at its
             # dispatch; later chunks are already running / transferring)
-            out, done_snap, acts = q.popleft()
+            out, done_snap, acts, size_k = q.popleft()
             for b, req in acts:  # joins visible from this chunk on
                 rows[b] = req
                 admitted.remove(req)
             _, _frames, n, lens, _done_all, audio, _ = out
             n_val, lens_np, audio_np, row_done = jax.device_get(
                 (n, lens, audio, done_snap))
-            inflight_steps -= self.chunk_size
+            inflight_steps -= size_k
             pos_lb += int(n_val)
             if _TRACE:
                 now = time.time()
@@ -659,13 +673,16 @@ class ContinuousBatcher:
         # `out` None below
         warm = [b for b in TTH_BUCKETS
                 if b <= (max_tth or TTH_BUCKETS[-1])] or [TTH_BUCKETS[0]]
+        sizes = list(dict.fromkeys(list(self.first_chunks)
+                                   + [self.chunk_size]))
         for tb in warm:
-            out = eng.chunk_vocode_batched(
-                voc, state, jnp.zeros((self.B, tb, H), eng.dtype),
-                jnp.zeros((self.B,), jnp.int32), tpe0,
-                self.policy, self.pred_policy, self.chunk_size, vst,
-                knobs=self.knobs)
-            state, vst = out[0], out[6]
-            jax.block_until_ready(out[5])
+            for size in sizes:  # ramp sizes compile their own executables
+                out = eng.chunk_vocode_batched(
+                    voc, state, jnp.zeros((self.B, tb, H), eng.dtype),
+                    jnp.zeros((self.B,), jnp.int32), tpe0,
+                    self.policy, self.pred_policy, size, vst,
+                    knobs=self.knobs)
+                state, vst = out[0], out[6]
+                jax.block_until_ready(out[5])
         eng.release(state)
         logger.info("batcher warmup: %.1fs", time.time() - t0)

@@ -386,3 +386,45 @@ def test_randomized_stress_mixed_cancels_and_budgets(tiny_tts, ref_wav,
         assert len(_collect(h)) == 8 * spf
     finally:
         b.close()
+
+
+def test_first_chunks_ramp_cuts_first_audio_size(tiny_tts, ref_wav):
+    """``first_chunks`` TTFA ramp: after batch start AND after a mid-batch
+    join the dispatch sizes re-run the ramp, so the newest row's first
+    audio chunk is ramp[0] frames (not chunk_size) — while every stream
+    still delivers exactly its budget."""
+    spf = tiny_tts.vocoder.spf
+    b = ContinuousBatcher(tiny_tts, max_batch=2, chunk_size=4,
+                          max_new_tokens=24, policy=NO_EOS,
+                          first_chunks=(1, 2))
+    try:
+        h1 = b.submit("Ramp seed one.", "English", ref_wav, "ref")
+        h2 = b.submit("Ramp seed two.", "English", ref_wav, "ref")
+        sizes = {}
+        totals = {}
+        first_chunk = threading.Event()
+
+        def drain(name, h):
+            chunks = []
+            for a, _, _ in h.chunks():
+                chunks.append(a)
+                first_chunk.set()  # proves the batch is RUNNING
+            sizes[name] = [len(a) for a in chunks]
+            totals[name] = sum(len(a) for a in chunks)
+
+        t1 = threading.Thread(target=drain, args=("a", h1))
+        t2 = threading.Thread(target=drain, args=("b", h2))
+        t1.start(); t2.start()
+        assert first_chunk.wait(timeout=300)
+        h3 = b.submit("Ramp joiner.", "English", ref_wav, "ref")
+        drain("c", h3)
+        t1.join(timeout=600); t2.join(timeout=600)
+
+        for name in ("a", "b", "c"):
+            assert totals[name] == 24 * spf, (name, totals[name])
+            # first audio after the 1-frame ramp chunk, then the 2-frame one
+            assert sizes[name][0] == 1 * spf, (name, sizes[name])
+            assert sizes[name][1] == 2 * spf, (name, sizes[name])
+        assert b.stats["joined_mid_batch"] >= 1
+    finally:
+        b.close()
