@@ -258,6 +258,12 @@ def main(argv=None):
     p.add_argument("--warmup-all", action=argparse.BooleanOptionalAction, default=True,
                    help="compile every prefill/tth bucket at startup so no "
                         "request hits a mid-serving compile stall")
+    p.add_argument("--warmup-buckets", default="64,128,256",
+                   help="comma-separated prefill buckets the batched engine "
+                        "warms at startup (continuous-batching mode); cover "
+                        "your real prompt sizes — an unwarmed bucket "
+                        "compiles at serve time and stalls every live "
+                        "stream for seconds")
     args = p.parse_args(argv)
 
     from ..api.model import FasterQwen3TTS
@@ -275,7 +281,8 @@ def main(argv=None):
         # the batched engine has its own executables (batched prefill,
         # join, fused batched decode+vocode) — warm them too or the first
         # served request hits every compile
-        httpd.tts_state.batcher.warmup()
+        buckets = tuple(int(x) for x in args.warmup_buckets.split(",") if x)
+        httpd.tts_state.batcher.warmup(prefill_buckets=buckets)
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:

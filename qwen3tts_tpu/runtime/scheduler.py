@@ -259,6 +259,7 @@ class ContinuousBatcher:
         #     beyond the initial set are zero prompts, marked done right after
         T = max(r.embeds.shape[1] for r in initial)
         Tb = bucket_for(T)
+        self._check_warmed(Tb)
         embeds = np.zeros((B, T, H), np.float32)
         pads = np.full((B,), T, np.int32)  # unused rows: fully padded
         for i, req in enumerate(initial):
@@ -378,6 +379,7 @@ class ContinuousBatcher:
                                      | jnp.asarray(pending_force))
                 pending_force = np.zeros((B,), bool)
             for b, req in deferred_joins:
+                self._check_warmed(bucket_for(req.embeds.shape[1]))
                 cur_state = eng.join_row(
                     cur_state, b, jnp.asarray(req.embeds, eng.dtype),
                     policy=self.policy, pred_policy=self.pred_policy,
@@ -628,10 +630,32 @@ class ContinuousBatcher:
 
     # ---- warmup
 
+    def _check_warmed(self, Tb: int) -> None:
+        """Warn (once per bucket) when a serve-time prompt hits a prefill
+        bucket that warmup() did not compile: on a tunneled TPU the
+        resulting mid-serve compile stalls EVERY live stream for seconds
+        (measured: an unwarmed bucket cost 8+ s of TTFA on the first
+        request to hit it)."""
+        warmed = getattr(self, "_warmed_buckets", None)
+        if not warmed or Tb in warmed:
+            return
+        warned = getattr(self, "_warned_buckets", None)
+        if warned is None:
+            warned = self._warned_buckets = set()
+        if Tb not in warned:
+            warned.add(Tb)
+            logger.warning(
+                "prefill bucket %d was not warmed (warmup had %s): the "
+                "first batch/join at this size compiles at serve time and "
+                "stalls all live streams — add it to "
+                "warmup(prefill_buckets=...)", Tb, sorted(warmed))
+
     def warmup(self, prefill_buckets=(128,), max_tth: Optional[int] = None):
         """Compile the batched prefill/chunk/join executables ahead of
         serving (persistent-cached, like Engine.warmup_all)."""
         t0 = time.time()
+        self._warmed_buckets = set(getattr(self, "_warmed_buckets", ())) \
+            | set(prefill_buckets)
         eng = self.engine
         H = self.model.cfg.talker.hidden_size
         eng.warmup_all(self.policy, self.pred_policy,

@@ -428,3 +428,31 @@ def test_first_chunks_ramp_cuts_first_audio_size(tiny_tts, ref_wav):
         assert b.stats["joined_mid_batch"] >= 1
     finally:
         b.close()
+
+
+def test_unwarmed_bucket_warns(tiny_tts, ref_wav, caplog):
+    """Serving a prompt bucket that warmup() did not compile must log a
+    warning naming the bucket (a mid-serve compile stalls every live
+    stream on a tunneled TPU), and warmed buckets must stay silent."""
+    import logging
+
+    b = ContinuousBatcher(tiny_tts, max_batch=2, chunk_size=4,
+                          max_new_tokens=8, policy=NO_EOS)
+    try:
+        b.warmup(prefill_buckets=(32,), max_tth=16)
+        with caplog.at_level(logging.WARNING,
+                             logger="qwen3tts_tpu.runtime.scheduler"):
+            b._check_warmed(32)
+            assert not caplog.records
+            b._check_warmed(256)
+            assert any("256" in r.message and "not warmed" in r.message
+                       for r in caplog.records)
+            n = len(caplog.records)
+            b._check_warmed(256)  # once per bucket
+            assert len(caplog.records) == n
+        # end-to-end: serving still works after the warning machinery
+        h = b.submit("Post-warn sanity.", "English", ref_wav, "ref",
+                     max_new_tokens=8)
+        assert len(_collect(h)) == 8 * tiny_tts.vocoder.spf
+    finally:
+        b.close()
