@@ -272,7 +272,8 @@ class FasterQwen3TTS:
         )
 
     def _prepare_clone(self, text, ref_audio, ref_text, language, xvec_only,
-                       non_streaming_mode, append_silence, instruct):
+                       non_streaming_mode, append_silence, instruct,
+                       device: bool = True):
         input_ids = self.tokenizer.build_assistant_ids(text)
         instruct_ids = self.tokenizer.build_instruct_ids(instruct) if instruct else None
         vcp = self._voice_prompt(ref_audio, ref_text, xvec_only, append_silence)
@@ -290,7 +291,11 @@ class FasterQwen3TTS:
             non_streaming_mode=non_streaming_mode,
             instruct_ids=instruct_ids,
         )
-        embeds, trailing, tpe = self._to_device(embeds, trailing, tpe)
+        if device:
+            embeds, trailing, tpe = self._to_device(embeds, trailing, tpe)
+        # device=False callers (the continuous batcher) keep the host numpy
+        # arrays: stacking/joining re-uploads anyway, and a device round
+        # trip per submit costs ~100-200 ms on a tunneled runtime
         ref_codes = vcp["ref_code"] if not xvec_only else None
         return embeds, trailing, tpe, ref_codes
 

@@ -165,7 +165,7 @@ class ContinuousBatcher:
             raise RuntimeError("batcher is closed")
         embeds, trailing, tpe, ref_codes = self.model._prepare_clone(
             text, ref_audio, ref_text, language, xvec_only,
-            non_streaming_mode, append_silence, instruct,
+            non_streaming_mode, append_silence, instruct, device=False,
         )
         req = _Request(
             embeds=np.asarray(embeds, np.float32),
@@ -266,10 +266,12 @@ class ContinuousBatcher:
             L = req.embeds.shape[1]
             pads[i] = T - L
             embeds[i, T - L:] = req.embeds[0]
+        t_embeds = time.time()
         state = eng.prefill(
             jnp.asarray(embeds, eng.dtype), self.model._next_key(), self.policy,
             pad_count=pads, knobs=self.knobs,
         )
+        t_prefill = time.time()
         total_pads = pads + (Tb - T)
         pos = Tb - int(total_pads.min())  # prefill compacts by min(pad)
         if len(initial) < B:
@@ -298,13 +300,22 @@ class ContinuousBatcher:
         # state in via scatter_stream_row
         voc = self.model.vocoder
         spf = voc.spf
+        t_tth = time.time()
         voc_state = voc.stream_state_batched(B)
+        t_vocinit = time.time()
         for i, req in enumerate(initial):
             voc_state = voc.scatter_stream_row(
                 voc_state, self._primed_state(req), i)
+        t_prime = time.time()
 
         for req in initial:
             self._start_request(req)
+        if _TRACE:
+            logger.info(
+                "batch setup split: embeds=%.1fms prefill=%.1f tth=%.1f "
+                "vocinit=%.1f prime=%.1f", (t_embeds - t_batch0) * 1e3,
+                (t_prefill - t_embeds) * 1e3, (t_tth - t_prefill) * 1e3,
+                (t_vocinit - t_tth) * 1e3, (t_prime - t_vocinit) * 1e3)
 
         # --- deep-pipelined chunk loop.  Up to ``depth`` decode chunks are
         # in flight at once; each output's host transfer is started at
