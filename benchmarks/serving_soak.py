@@ -73,8 +73,11 @@ def main():
     t0 = time.time()
     # max_tth=64 covers this bench's trailing-hidden lengths with 2 fused
     # compiles instead of all 5 tth buckets (the fused batched decode+vocode
-    # program is large; a degraded compile service aborts long warmups)
-    batcher.warmup(prefill_buckets=(32, 64, 128), max_tth=64)
+    # program is large; a degraded compile service aborts long warmups).
+    # 256 is in the list because the longest TEXTS prompt buckets there —
+    # an unwarmed bucket compiles mid-serve and poisons every TTFA
+    # (measured 8-13 s of stall; the batcher warns when it happens)
+    batcher.warmup(prefill_buckets=(32, 64, 128, 256), max_tth=64)
     print(f"warmup: {time.time()-t0:.1f}s", file=sys.stderr)
 
     # voice prompt cache warm (not part of the serving measurement)

@@ -667,11 +667,7 @@ class Engine:
         bucket length (``pos_hint`` — host-tracked position — is validated
         when given).  Compiles once per prefill bucket.
         """
-        if not hasattr(self, "_join_jit"):
-            self._join_jit = jax.jit(
-                self._join_impl, static_argnames=("policy",),
-                donate_argnames=("state",),
-            )
+        self._ensure_join_jit()
         B, T, H = embeds.shape
         assert B == 1, "join_row admits one request at a time"
         Tb = bucket_for(T)
@@ -690,6 +686,59 @@ class Engine:
             jnp.asarray([extra], jnp.int32), jnp.int32(row), knobs,
             policy=policy.static,
         )
+
+    def _ensure_join_jit(self):
+        if not hasattr(self, "_join_jit"):
+            self._join_jit = jax.jit(
+                self._join_impl, static_argnames=("policy",),
+                donate_argnames=("state",),
+            )
+        return self._join_jit
+
+    def warm_join(
+        self,
+        prompt_len: int,
+        *,
+        policy: GenerationPolicy,
+        pred_policy: SamplingPolicy = SamplingPolicy(),
+        knobs: Optional[jnp.ndarray] = None,
+    ) -> int:
+        """AOT-compile the ``join_row`` executable for ``prompt_len``'s
+        bucket from shape specs alone — no device state, no allocation.
+
+        Safe to call from a background thread while a batch is serving: the
+        compile lands in the persistent compilation cache, so the serving
+        thread's later ``join_row`` at this bucket pays a trace + cache load
+        instead of a full (minutes-long on a tunneled TPU) compile that
+        would stall every live stream.  Returns the bucket."""
+        if knobs is None:
+            knobs = make_knobs(policy, pred_policy)
+        jit_fn = self._ensure_join_jit()
+        Tb = bucket_for(prompt_len)
+        B, H = self.batch, self.talker_cfg.hidden_size
+        sds = jax.ShapeDtypeStruct
+
+        def spec(tree):
+            return jax.tree.map(lambda x: sds(x.shape, x.dtype), tree)
+
+        p_spec = spec(self.talker_params)
+        kv_spec = jax.eval_shape(
+            lambda: talker_lib.new_kv_cache(
+                self.talker_cfg, self.batch, self.max_seq_len, self.dtype,
+                kv_quant=self.kv_quant))
+        state_spec = jax.eval_shape(
+            functools.partial(self._prefill_jit, policy=policy.static),
+            p_spec, sds((B, Tb, H), self.dtype), sds((B,), jnp.int32),
+            kv_spec, spec(jax.random.PRNGKey(0)), spec(jnp.asarray(knobs)))
+        t0 = time.time()
+        jit_fn.lower(
+            p_spec, state_spec, sds((1, Tb, H), self.dtype),
+            sds((1,), jnp.int32), sds((), jnp.int32), spec(jnp.asarray(knobs)),
+            policy=policy.static,
+        ).compile()
+        logger.info("warm_join: bucket %d compiled in %.1fs",
+                    Tb, time.time() - t0)
+        return Tb
 
     # ------------------------------------------------------------------
     # warmup — AOT compile at fixed shapes (reference model.py:154-163)

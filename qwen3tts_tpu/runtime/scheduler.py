@@ -138,6 +138,17 @@ class ContinuousBatcher:
         self._voice_states: "OrderedDict[object, object]" = OrderedDict()
         self._voice_cache_cap = 8
         self._stop = threading.Event()
+        # mid-batch admission requires the join executable for the request's
+        # prompt bucket; buckets not compiled yet are AOT-compiled on a
+        # BACKGROUND thread (Engine.warm_join) while the batch keeps
+        # serving, and the request is admitted once ready — a mid-serve
+        # inline compile would stall every live stream for seconds.  The
+        # ready-set lives on the ENGINE (where the executable cache lives),
+        # so it survives batcher re-creation over the same model.
+        if not hasattr(self.engine, "_join_ready_buckets"):
+            self.engine._join_ready_buckets = set()
+        self._join_ready: set = self.engine._join_ready_buckets
+        self._compiling_buckets: set = set()
         self._stats = {"served": 0, "joined_mid_batch": 0, "batches": 0,
                        "cancelled": 0, "active_rows": 0}
         self._worker = threading.Thread(
@@ -390,7 +401,8 @@ class ContinuousBatcher:
                                      | jnp.asarray(pending_force))
                 pending_force = np.zeros((B,), bool)
             for b, req in deferred_joins:
-                self._check_warmed(bucket_for(req.embeds.shape[1]))
+                # no _check_warmed here: admission already gated on
+                # _bucket_join_ready, so the executable exists by now
                 cur_state = eng.join_row(
                     cur_state, b, jnp.asarray(req.embeds, eng.dtype),
                     policy=self.policy, pred_policy=self.pred_policy,
@@ -633,6 +645,8 @@ class ContinuousBatcher:
             return None  # too early in the batch window — wait
         if pos_ub + min(req.max_new_tokens, 64) > limit:
             return None  # not enough window left to bother joining
+        if not self._bucket_join_ready(Tb):
+            return None  # join executable compiling in the background — wait
         try:
             got = self._pending.get_nowait()
         except queue.Empty:
@@ -661,12 +675,41 @@ class ContinuousBatcher:
                 "stalls all live streams — add it to "
                 "warmup(prefill_buckets=...)", Tb, sorted(warmed))
 
+    def _bucket_join_ready(self, Tb: int) -> bool:
+        """True when the join executable for bucket ``Tb`` exists.  Otherwise
+        kick a background AOT compile (Engine.warm_join) and return False —
+        the caller re-checks at the next chunk boundary, and the running
+        batch never stalls on the compile."""
+        if Tb in self._join_ready:
+            return True
+        if Tb in self._compiling_buckets:
+            return False
+        self._compiling_buckets.add(Tb)
+
+        def work():
+            try:
+                self.engine.warm_join(Tb, policy=self.policy,
+                                      pred_policy=self.pred_policy,
+                                      knobs=self.knobs)
+            except Exception:  # pragma: no cover — fall back to inline
+                logger.exception("background warm_join(bucket=%d) failed; "
+                                 "the next join at this bucket compiles "
+                                 "inline", Tb)
+            finally:
+                self._join_ready.add(Tb)
+                self._compiling_buckets.discard(Tb)
+
+        threading.Thread(target=work, daemon=True,
+                         name=f"warm-join-{Tb}").start()
+        return False
+
     def warmup(self, prefill_buckets=(128,), max_tth: Optional[int] = None):
         """Compile the batched prefill/chunk/join executables ahead of
         serving (persistent-cached, like Engine.warmup_all)."""
         t0 = time.time()
         self._warmed_buckets = set(getattr(self, "_warmed_buckets", ())) \
             | set(prefill_buckets)
+        self._join_ready |= set(prefill_buckets)
         eng = self.engine
         H = self.model.cfg.talker.hidden_size
         eng.warmup_all(self.policy, self.pred_policy,

@@ -18,6 +18,9 @@ NO_EOS = GenerationPolicy(do_sample=False, min_new_tokens=10_000)
 def batcher(tiny_tts):
     b = ContinuousBatcher(tiny_tts, max_batch=2, chunk_size=8,
                           max_new_tokens=40, policy=NO_EOS)
+    # join executables ready up-front: tests below assert mid-batch joins,
+    # which admission defers until the bucket's join program exists
+    b.warmup(prefill_buckets=(32, 64), max_tth=16)
     yield b
     b.close()
 
@@ -221,6 +224,7 @@ def test_pipeline_depth_invariants(tiny_tts, ref_wav, monkeypatch, depth):
     spf = tiny_tts.vocoder.spf
     b = ContinuousBatcher(tiny_tts, max_batch=2, chunk_size=4,
                           max_new_tokens=64, policy=NO_EOS)
+    b.warmup(prefill_buckets=(32, 64), max_tth=16)  # joins assert below
     try:
         lengths = [8, 20, 8, 12, 16]
         handles = [
@@ -337,6 +341,7 @@ def test_randomized_stress_mixed_cancels_and_budgets(tiny_tts, ref_wav,
     spf = tiny_tts.vocoder.spf
     b = ContinuousBatcher(tiny_tts, max_batch=2, chunk_size=4,
                           max_new_tokens=64, policy=NO_EOS)
+    b.warmup(prefill_buckets=(32, 64), max_tth=16)
     N = 12
     plans = []  # (n_tokens, cancel_after_chunks or None, submit_delay_s)
     for i in range(N):
@@ -397,6 +402,7 @@ def test_first_chunks_ramp_cuts_first_audio_size(tiny_tts, ref_wav):
     b = ContinuousBatcher(tiny_tts, max_batch=2, chunk_size=4,
                           max_new_tokens=24, policy=NO_EOS,
                           first_chunks=(1, 2))
+    b.warmup(prefill_buckets=(32, 64), max_tth=16)  # join asserted below
     try:
         h1 = b.submit("Ramp seed one.", "English", ref_wav, "ref")
         h2 = b.submit("Ramp seed two.", "English", ref_wav, "ref")
@@ -454,5 +460,63 @@ def test_unwarmed_bucket_warns(tiny_tts, ref_wav, caplog):
         h = b.submit("Post-warn sanity.", "English", ref_wav, "ref",
                      max_new_tokens=8)
         assert len(_collect(h)) == 8 * tiny_tts.vocoder.spf
+    finally:
+        b.close()
+
+
+def test_unwarmed_join_bucket_compiles_off_thread(tiny_tts, ref_wav,
+                                                  monkeypatch):
+    """A mid-batch admission whose prompt bucket has no join executable yet
+    must NOT stall the running batch: the compile runs on a background
+    thread (Engine.warm_join) and the request joins once it's ready.  With
+    the compile artificially slowed, the already-running stream must keep
+    delivering chunks throughout."""
+    from qwen3tts_tpu.runtime.engine import Engine
+
+    calls = []
+    real = Engine.warm_join
+
+    def slow_warm(self, prompt_len, **kw):
+        calls.append(prompt_len)
+        time.sleep(1.0)  # a "slow compile service"
+        return real(self, prompt_len, **kw)
+
+    monkeypatch.setattr(Engine, "warm_join", slow_warm)
+    b = ContinuousBatcher(tiny_tts, max_batch=2, chunk_size=4,
+                          max_new_tokens=200, policy=NO_EOS)
+    # the ready-set lives on the (session-cached) engine: clear it so every
+    # bucket starts join-unready for this test
+    b._join_ready.clear()
+    try:
+        spf = tiny_tts.vocoder.spf
+        # seed buckets at 64 (42-token prompt); the joiner's 79-token
+        # prompt buckets at 128, admissible once the seed has decoded 64
+        # steps — at which point the batch is mid-flight and the join
+        # executable does not exist yet
+        ha = b.submit("Seed stream that keeps running.", "English", ref_wav,
+                      "ref", max_new_tokens=190)
+        it = ha.chunks()
+        next(it)  # batch is running
+        hb = b.submit("Joiner with a longer prompt " + "word " * 8,
+                      "English", ref_wav, "ref", max_new_tokens=8)
+        # drain A's first chunks; B's bucket becomes admissible mid-run and
+        # kicks the (slowed) background compile.  A must keep streaming the
+        # whole time — the serving loop never blocks on the compile.
+        stall = 0.0
+        last = time.time()
+        chunks_a = 1
+        for _ in it:
+            now = time.time()
+            stall = max(stall, now - last)
+            last = now
+            chunks_a += 1
+        wav_b = _collect(hb)
+        assert len(wav_b) == 8 * spf
+        assert calls, "background warm_join was never invoked"
+        assert chunks_a * 4 >= 190 // 4 * 4, "seed stream was truncated"
+        # inter-chunk gap must stay well under the 1 s compile sleep (CPU
+        # chunk walls here are ~50-200 ms; an inline compile would add 1 s+)
+        assert stall < 0.9, f"stream stalled {stall:.2f}s during compile"
+        assert b.stats["served"] == 2
     finally:
         b.close()
