@@ -193,6 +193,79 @@ def sharded_inference_check(mesh: Mesh, steps: int = 8,
     return sharded, single
 
 
+def sharded_batched_serving_check(
+        mesh: Mesh, rows: int = 3, kv_quant: bool = False,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """TP-shard the BATCHED serving path — the continuous-batching engine's
+    actual program sequence: stacked multi-row prefill, fused decode chunks,
+    a mid-batch ``join_row`` splice into the sharded cache, then post-join
+    decode — and return (sharded, single) greedy token tensors [rows, steps,
+    16] for exact comparison.  Certifies that serving-level continuous
+    batching composes with tensor parallelism (the join's
+    ``dynamic_update_slice`` writes land on the batch/position axes, so the
+    KVH-sharded cache never reshards)."""
+    from ..core.config import PredictorConfig, TalkerConfig, TTSModelConfig
+    from ..models import predictor as predictor_lib
+    from ..runtime.engine import Engine, GenerationPolicy, make_knobs
+
+    cfg = TTSModelConfig(
+        dtype="float32",
+        talker=TalkerConfig(
+            hidden_size=64, num_hidden_layers=2, num_attention_heads=8,
+            num_key_value_heads=4, head_dim=16, intermediate_size=128,
+            mrope_section=(4, 2, 2), vocab_size=3072, text_vocab_size=512,
+            text_hidden_size=64, speaker_embed_dim=64,
+        ),
+        predictor=PredictorConfig(
+            hidden_size=64, num_hidden_layers=2, num_attention_heads=8,
+            num_key_value_heads=4, head_dim=16, intermediate_size=128,
+        ),
+    )
+    H = cfg.talker.hidden_size
+    tparams = talker_lib.init_params(jax.random.PRNGKey(0), cfg.talker,
+                                     jnp.float32)
+    pparams = predictor_lib.init_params(
+        jax.random.PRNGKey(1), cfg.predictor, H, jnp.float32)
+    rs = np.random.RandomState(5)
+    embeds = jnp.asarray(rs.randn(rows, 10, H), jnp.float32) * 0.1
+    joiner = jnp.asarray(rs.randn(1, 9, H), jnp.float32) * 0.1
+    tth = jnp.asarray(rs.randn(rows, 4, H), jnp.float32) * 0.1
+    tpe = jnp.zeros((rows, 1, H), jnp.float32)
+    pol = GenerationPolicy(do_sample=False, min_new_tokens=1000)
+    ppol = predictor_lib.SamplingPolicy(do_sample=False)
+    knobs = make_knobs(pol, ppol)
+
+    def run(shard: bool) -> np.ndarray:
+        tp_params, pp_params = tparams, pparams
+        if shard:
+            tp_params = shard_params(tparams, mesh,
+                                     talker_param_specs(cfg.talker))
+            pp_params = shard_params(pparams, mesh,
+                                     predictor_param_specs(cfg.predictor))
+        eng = Engine(tp_params, pp_params, cfg, max_seq_len=64, batch=rows,
+                     kv_quant=kv_quant)
+        if shard:
+            eng._kv_pool.append(shard_kv_cache(eng.new_kv(), mesh))
+        state = eng.prefill(embeds, jax.random.PRNGKey(7), pol, knobs=knobs)
+        chunks = []
+        for _ in range(3):  # 24 steps → position passes the joiner's bucket
+            state, frames, n, lens, done = eng.decode_chunk(
+                state, tth, 0, tpe, pol, ppol, 8, knobs=knobs)
+            chunks.append(np.asarray(frames))
+        state = eng.join_row(state, rows - 1, joiner, policy=pol,
+                             pred_policy=ppol, knobs=knobs, pos_hint=34)
+        state, frames, n, lens, done = eng.decode_chunk(
+            state, tth, 0, tpe, pol, ppol, 8, knobs=knobs)
+        chunks.append(np.asarray(frames))
+        eng.release(state)
+        return np.concatenate(chunks, axis=1)  # [rows, 32, 16]
+
+    with mesh:
+        sharded = run(True)
+    single = run(False)
+    return sharded, single
+
+
 def sharded_flagship_check(
     mesh: Mesh,
     steps: int = 4,

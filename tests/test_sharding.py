@@ -88,6 +88,20 @@ def test_kv_quant_cache_composes_with_tp():
     np.testing.assert_array_equal(sharded, single)
 
 
+def test_sharded_batched_serving_parity():
+    """Continuous-batching's engine path under dp=2×tp=4: stacked 3-row
+    prefill, fused decode chunks, a mid-batch join_row splice into the
+    TP-sharded cache, post-join decode — greedy tokens EXACTLY equal to the
+    single-device run.  Certifies that serving-level batching (beyond the
+    reference, SURVEY §2.4) composes with tensor parallelism."""
+    from qwen3tts_tpu.parallel.sharding import sharded_batched_serving_check
+
+    mesh = make_mesh(8, dp=2, tp=4)
+    sharded, single = sharded_batched_serving_check(mesh)
+    assert sharded.shape == single.shape == (3, 32, 16)
+    np.testing.assert_array_equal(sharded, single)
+
+
 def test_flagship_geometry_tp_parity():
     """The REAL 0.6B preset (28 layers, hidden 1024, GQA 16/8) through the
     Engine under tp=4 with the int8 KV cache: greedy token parity vs the
