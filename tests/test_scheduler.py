@@ -340,7 +340,8 @@ def test_randomized_stress_mixed_cancels_and_budgets(tiny_tts, ref_wav,
     monkeypatch.setenv("QWEN3TTS_BATCH_PIPELINE", "5")
     spf = tiny_tts.vocoder.spf
     b = ContinuousBatcher(tiny_tts, max_batch=2, chunk_size=4,
-                          max_new_tokens=64, policy=NO_EOS)
+                          max_new_tokens=64, policy=NO_EOS,
+                          first_chunks=(1, 2))
     b.warmup(prefill_buckets=(32, 64), max_tth=16)
     N = 12
     plans = []  # (n_tokens, cancel_after_chunks or None, submit_delay_s)
