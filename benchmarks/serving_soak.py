@@ -160,6 +160,13 @@ def main():
         tag += "_saturated"
     if RAMP:
         tag += "_ramp"
+    # non-default geometry gets its own record — a 1.7B or B=16 run must
+    # never overwrite the default config's numbers
+    from common import MODEL_SIZE
+    if MODEL_SIZE.lower() != "0.6b":
+        tag += f"_{MODEL_SIZE.lower()}"
+    if MAX_BATCH != 8:
+        tag += f"_b{MAX_BATCH}"
     tag = os.environ.get("SOAK_TAG", tag)
     write_results(tag, payload)
 
