@@ -689,3 +689,40 @@ class FasterQwen3TTS:
         from ..core.loader import save_checkpoint
 
         save_checkpoint(path, self.cfg, self.params)
+
+    # ------------------------------------------------------------------
+    # data-parallel replication (SURVEY §2.4: multi-chip scale-out = N
+    # independent replicas behind the server; the latency path stays
+    # single-chip, so ICI/DCN bandwidth is irrelevant to it)
+    # ------------------------------------------------------------------
+
+    def replicate_to(self, device, seed: Optional[int] = None) -> "FasterQwen3TTS":
+        """Full model replica pinned to another accelerator device.
+
+        Weights are copied to ``device`` (committed placement — every jitted
+        program dispatched on the replica runs there).  Host-side helpers
+        (config, tokenizer, prompt builder) are SHARED with the source model:
+        prompt assembly is host numpy, so a replica adds no host memory.
+        Per-replica mutable state — engines, vocoder executables, RNG,
+        voice-prompt cache, warmup flags — is fresh, so replicas never
+        contend on donated buffers.  Used by runtime/replicas.ReplicaPool."""
+        clone = object.__new__(type(self))
+        clone.__dict__.update(self.__dict__)
+        # per-replica lazily-built engine caches must not leak across devices
+        clone.__dict__.pop("_batch_engines", None)
+        clone.params = jax.device_put(self.params, device)
+        clone.engine = Engine(
+            clone.params["talker"], clone.params["predictor"], self.cfg,
+            max_seq_len=self.max_seq_len, kv_quant=self.kv_quant,
+        )
+        # vocoder params are already cast to the compute dtype — transfer the
+        # cast copy and skip the re-cast (compute_dtype=None)
+        clone.vocoder = Vocoder(
+            jax.device_put(self.vocoder.params, device), self.cfg.codec,
+            context_frames=self.vocoder.context_frames, compute_dtype=None,
+        )
+        clone._voice_prompt_cache = {}
+        clone._warmed_up = False
+        clone._rng = jax.random.PRNGKey(
+            seed if seed is not None else hash(str(device)) % (2**31))
+        return clone

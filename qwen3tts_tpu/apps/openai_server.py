@@ -219,9 +219,24 @@ def make_handler(state: TTSState):
 
 
 def serve(model, registry: VoiceRegistry, host: str = "0.0.0.0", port: int = 8000,
-          chunk_size: int = 8, max_batch: int = 0) -> ThreadingHTTPServer:
+          chunk_size: int = 8, max_batch: int = 0,
+          replicas: int = 0) -> ThreadingHTTPServer:
     batcher = None
-    if max_batch > 1:
+    if replicas > 1:
+        # data-parallel scale-out: one model replica + batcher per device,
+        # least-loaded routing (SURVEY §2.4 — multi-chip = N replicas behind
+        # the server).  Duck-types the single-batcher surface.
+        import jax
+
+        from ..runtime.replicas import ReplicaPool
+
+        devs = jax.local_devices()[:replicas]
+        if len(devs) < replicas:
+            logger.warning("requested %d replicas but only %d devices; using %d",
+                           replicas, len(devs), len(devs))
+        batcher = ReplicaPool(model, devs, max_batch=max(max_batch, 1),
+                              chunk_size=chunk_size, first_chunks=(2, 4))
+    elif max_batch > 1:
         from ..runtime.scheduler import ContinuousBatcher
 
         batcher = ContinuousBatcher(model, max_batch=max_batch,
@@ -230,8 +245,12 @@ def serve(model, registry: VoiceRegistry, host: str = "0.0.0.0", port: int = 800
     state = TTSState(model, registry, chunk_size, batcher=batcher)
     httpd = ThreadingHTTPServer((host, port), make_handler(state))
     httpd.tts_state = state  # exposes the batcher for tests / shutdown
-    logger.info("OpenAI-compatible TTS server on %s:%d%s", host, port,
-                f" (continuous batching, max_batch={max_batch})" if batcher else "")
+    mode = ""
+    if replicas > 1:
+        mode = f" ({len(batcher.batchers)} replicas × max_batch={max(max_batch, 1)})"
+    elif batcher is not None:
+        mode = f" (continuous batching, max_batch={max_batch})"
+    logger.info("OpenAI-compatible TTS server on %s:%d%s", host, port, mode)
     return httpd
 
 
@@ -255,6 +274,11 @@ def main(argv=None):
                         "engine (requests join/leave the running batch); 0 = "
                         "serialize requests behind a lock (reference behavior). "
                         "Sampling knobs are fixed per server in this mode.")
+    p.add_argument("--replicas", type=int, default=0, metavar="R",
+                   help="data-parallel scale-out: copy the model to R local "
+                        "devices, one continuous batcher each, least-loaded "
+                        "routing (combine with --continuous-batching N for "
+                        "R×N concurrent rows); 0/1 = single device")
     p.add_argument("--warmup-all", action=argparse.BooleanOptionalAction, default=True,
                    help="compile every prefill/tth bucket at startup so no "
                         "request hits a mid-serving compile stall")
@@ -276,7 +300,7 @@ def main(argv=None):
         model.warmup_all(chunk_sizes=(args.chunk_size, 16))
     registry = VoiceRegistry.from_args(args.voices, args.ref_audio, args.ref_text)
     httpd = serve(model, registry, args.host, args.port, args.chunk_size,
-                  max_batch=args.continuous_batching)
+                  max_batch=args.continuous_batching, replicas=args.replicas)
     if args.warmup_all and httpd.tts_state.batcher is not None:
         # the batched engine has its own executables (batched prefill,
         # join, fused batched decode+vocode) — warm them too or the first
