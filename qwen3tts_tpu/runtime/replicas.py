@@ -13,7 +13,10 @@ plays no role in it.  ReplicaPool is that component:
     every device serves a continuously-batched request stream;
   * ``submit()`` routes each request to the replica with the fewest
     in-flight requests (round-robin tie-break), tracked pool-side from
-    submit/served counters — no cross-device coordination of any kind.
+    submit/served counters — no cross-device coordination of any kind;
+  * a replica whose worker dies (catastrophic device/runtime failure) is
+    detected via ``ContinuousBatcher.alive`` and routed around — the pool
+    keeps serving on the survivors and only fails when none remain.
 
 Aggregate throughput scales ~linearly with device count (replicas share
 nothing); per-request latency stays at single-chip batch latency.  Tensor
@@ -77,6 +80,7 @@ class ReplicaPool:
         self._submits = [0] * len(self.batchers)
         self._rr = 0
         self._lock = threading.Lock()
+        self._reported_dead: set = set()
 
     # ------------------------------------------------------------------
 
@@ -84,16 +88,45 @@ class ReplicaPool:
         st = self.batchers[i]._stats
         return max(0, self._submits[i] - st["served"])
 
+    def _live(self) -> List[int]:
+        """Indices of replicas whose worker is still serving.  A dead worker
+        (catastrophic failure — its own log line explains why) is routed
+        around, once loudly; requests in flight on it fail via their stream
+        handles, new requests go to the survivors."""
+        live = []
+        for i, b in enumerate(self.batchers):
+            if b.alive:
+                live.append(i)
+            elif i not in self._reported_dead:
+                self._reported_dead.add(i)
+                logger.error("replica %d (%s) is dead; routing around it",
+                             i, self.devices[i])
+        return live
+
     def submit(self, *args, **kwargs) -> StreamHandle:
-        """Route to the least-loaded replica (same signature as
+        """Route to the least-loaded live replica (same signature as
         ContinuousBatcher.submit)."""
-        with self._lock:
-            n = len(self.batchers)
-            order = [(self._inflight(i), (i - self._rr) % n, i) for i in range(n)]
-            i = min(order)[2]
-            self._submits[i] += 1
-            self._rr = (i + 1) % n
-        return self.batchers[i].submit(*args, **kwargs)
+        n = len(self.batchers)
+        for _ in range(n):  # retry if a replica dies mid-routing
+            with self._lock:
+                live = self._live()
+                if not live:
+                    raise RuntimeError(
+                        f"all {n} replicas are dead (see earlier logs)")
+                order = [(self._inflight(i), (i - self._rr) % n, i)
+                         for i in live]
+                i = min(order)[2]
+                self._submits[i] += 1
+                self._rr = (i + 1) % n
+            try:
+                return self.batchers[i].submit(*args, **kwargs)
+            except RuntimeError:
+                if self.batchers[i].alive:
+                    raise  # a genuine submit error, not replica death
+                # died between routing and submit: undo the count, reroute
+                with self._lock:
+                    self._submits[i] -= 1
+        raise RuntimeError(f"all {n} replicas are dead (see earlier logs)")
 
     @property
     def stats(self) -> Dict:
@@ -104,7 +137,8 @@ class ReplicaPool:
                       "active_rows", "queue_depth")
         }
         agg["replicas"] = [
-            dict(s, device=str(d), inflight=self._inflight(i))
+            dict(s, device=str(d), inflight=self._inflight(i),
+                 alive=self.batchers[i].alive)
             for i, (s, d) in enumerate(zip(per, self.devices))
         ]
         return agg

@@ -174,6 +174,11 @@ class ContinuousBatcher:
     ) -> StreamHandle:
         if self._stop.is_set():
             raise RuntimeError("batcher is closed")
+        if not self._worker.is_alive():
+            # catastrophic worker death (logged by _run): nothing will ever
+            # drain _pending again — fail fast instead of queueing into the
+            # void (ReplicaPool uses `alive` to route around dead replicas)
+            raise RuntimeError("batcher worker is dead (see earlier log)")
         embeds, trailing, tpe, ref_codes = self.model._prepare_clone(
             text, ref_audio, ref_text, language, xvec_only,
             non_streaming_mode, append_silence, instruct, device=False,
@@ -187,12 +192,24 @@ class ContinuousBatcher:
                                self.max_new_tokens),
         )
         self._pending.put(req)
+        if not self._worker.is_alive():
+            # worker died between the liveness check above and the put — the
+            # catastrophic drain may already have run, so nothing would ever
+            # fail this request.  Double-delivery of the error is harmless
+            # (the consumer reads the first item only).
+            req.out_q.put(RuntimeError("batcher worker is dead (see earlier log)"))
         return StreamHandle(req, self.model.sample_rate)
 
     def close(self, timeout: float = 30.0):
         self._stop.set()
         self._pending.put(_SENTINEL)  # wake the worker
         self._worker.join(timeout=timeout)
+
+    @property
+    def alive(self) -> bool:
+        """True while the worker thread is serving (False after close() or a
+        catastrophic worker failure)."""
+        return self._worker.is_alive() and not self._stop.is_set()
 
     @property
     def stats(self) -> Dict:
@@ -203,6 +220,7 @@ class ContinuousBatcher:
     # ------------------------------------------------------------------
 
     def _run(self):
+        batch: List[_Request] = []  # popped but not yet served
         try:
             while not self._stop.is_set():
                 first = self._pending.get()
@@ -219,8 +237,12 @@ class ContinuousBatcher:
                         break
                     batch.append(nxt)
                 self._serve_batch(batch)
-        except Exception:  # pragma: no cover — catastrophic worker failure
+                batch = []
+        except Exception:  # catastrophic worker failure
             logger.exception("batcher worker died")
+            self._stop.set()  # alive -> False before the drain, not after
+            for req in batch:  # in-flight batch members must not hang
+                req.out_q.put(RuntimeError("batcher worker died"))
             while True:
                 try:
                     req = self._pending.get_nowait()

@@ -75,3 +75,47 @@ def test_identical_requests_give_identical_audio_across_replicas(
     h1 = pool.submit("Cross replica parity.", "English", ref_wav, "ref")
     a1 = _collect(h1)
     np.testing.assert_array_equal(a0, a1)
+
+
+# ---------------------------------------------------------------------------
+# failover — these KILL the shared pool's replicas, so they run LAST
+# ---------------------------------------------------------------------------
+
+def _kill(pool, i, ref_wav):
+    """Inject a catastrophic worker failure into replica i and wait for it
+    to be marked dead."""
+    b = pool.batchers[i]
+
+    def boom(batch):
+        raise RuntimeError("injected replica fault")
+
+    b._serve_batch = boom
+    h = b.submit("Doomed.", "English", ref_wav, "ref")  # trips the fault
+    with pytest.raises(RuntimeError, match="worker died"):
+        for _ in h.chunks():
+            pass
+    b._worker.join(timeout=10)
+    assert not b.alive
+
+
+def test_dead_replica_is_routed_around(pool, tiny_tts, ref_wav):
+    _kill(pool, 0, ref_wav)
+    # dead batcher fails fast on direct submit
+    with pytest.raises(RuntimeError, match="dead|closed"):
+        pool.batchers[0].submit("x", "English", ref_wav, "ref")
+    # the pool keeps serving on the survivor
+    spf = tiny_tts.vocoder.spf
+    before = pool.batchers[1]._stats["served"]
+    handles = [pool.submit(f"Failover {i}.", "English", ref_wav, "ref")
+               for i in range(3)]
+    for h in handles:
+        assert len(_collect(h)) == MAX_NEW * spf
+    assert pool.batchers[1]._stats["served"] == before + 3
+    flags = [r["alive"] for r in pool.stats["replicas"]]
+    assert flags == [False, True]
+
+
+def test_all_replicas_dead_raises(pool, ref_wav):
+    _kill(pool, 1, ref_wav)
+    with pytest.raises(RuntimeError, match="all 2 replicas are dead"):
+        pool.submit("No survivors.", "English", ref_wav, "ref")

@@ -144,6 +144,57 @@ def test_health_exposes_scheduler_stats(oai_server_batched):
         assert key in sched, key
 
 
+@pytest.fixture(scope="module")
+def oai_server_replicas(tiny_tts, tmp_path_factory):
+    """--replicas mode: one model copy + continuous batcher per device
+    behind least-loaded routing (runtime/replicas.ReplicaPool)."""
+    from qwen3tts_tpu.apps.openai_server import VoiceRegistry, serve
+    from qwen3tts_tpu.audio.wav import write_wav
+
+    d = tmp_path_factory.mktemp("oai_rep")
+    sr = 24_000
+    wav = (0.3 * np.sin(np.linspace(0, 400, sr))).astype(np.float32)
+    write_wav(d / "v.wav", wav, sr)
+    reg = VoiceRegistry.from_args(None, str(d / "v.wav"), "ref")
+    httpd = serve(tiny_tts, reg, host="127.0.0.1", port=0, max_batch=2,
+                  replicas=2)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}", httpd.tts_state
+    httpd.shutdown()
+    httpd.tts_state.batcher.close()
+
+
+def test_concurrent_requests_spread_over_replicas(oai_server_replicas):
+    url, state = oai_server_replicas
+    results = {}
+
+    def fetch(i):
+        with _post(url + "/v1/audio/speech",
+                   {"input": f"Replica request {i}.", "response_format": "wav",
+                    "max_new_tokens": 24}) as r:
+            results[i] = r.read()
+
+    threads = [threading.Thread(target=fetch, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert sorted(results) == [0, 1, 2, 3]
+    for i, data in results.items():
+        assert data[:4] == b"RIFF", f"req {i}"
+    st = state.batcher.stats
+    assert st["served"] == 4
+    # /health surfaces per-replica occupancy incl. liveness
+    with urllib.request.urlopen(url + "/health") as r:
+        body = json.loads(r.read())
+    reps = body["scheduler"]["replicas"]
+    assert len(reps) == 2
+    assert sum(r["served"] for r in reps) == 4
+    assert all(r["alive"] for r in reps)
+
+
 def test_client_disconnect_cancels_batched_row(tiny_tts, ref_wav, tmp_path):
     """ADVICE r2 (medium): a client that disconnects mid-stream must have its
     batch row cancelled — not keep generating to max_new_tokens and stall the
