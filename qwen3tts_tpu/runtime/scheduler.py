@@ -56,6 +56,24 @@ _SENTINEL = object()
 OUT_QUEUE_SIZE = 64
 EMIT_TIMEOUT_S = 5.0
 
+# Out-of-order admission scan depth: how many waiting requests are
+# considered for a free row.  FIFO order is preferred, but a request whose
+# prompt bucket exceeds the batch's current position must not block the
+# admissible requests behind it (measured: a bucket-256 head held a
+# saturated batch at 3/8 occupancy for ~1 s while bucket-64 requests waited
+# behind it — the dominant term in serving 459 vs raw-batched 902 frames/s).
+ADMIT_SCAN = 16
+
+# Batch-start burst collection: when ≥2 requests are already waiting as a
+# batch forms (a concurrent burst), the worker briefly keeps collecting —
+# a batch that starts full prefills ALL rows in one stacked program and
+# skips the position-gated join path entirely.  The window refreshes per
+# arrival (host-side prompt prep spaces a flood's submits out by ~10 ms)
+# and is capped overall.  A single waiting request starts immediately, so
+# light-load TTFA pays nothing.
+START_WINDOW_S = float(os.environ.get("QWEN3TTS_BATCH_START_WINDOW", "0.02"))
+START_WINDOW_CAP_S = 0.12
+
 
 @dataclass
 class _Request:
@@ -151,6 +169,10 @@ class ContinuousBatcher:
         self._compiling_buckets: set = set()
         self._stats = {"served": 0, "joined_mid_batch": 0, "batches": 0,
                        "cancelled": 0, "active_rows": 0}
+        # requests the worker has popped from _pending but not yet admitted
+        # (worker-thread-only; admission scans it out of order, see
+        # _peek_admissible)
+        self._waiting: List[_Request] = []
         self._worker = threading.Thread(
             target=self._run, name="continuous-batcher", daemon=True)
         self._worker.start()
@@ -213,36 +235,73 @@ class ContinuousBatcher:
 
     @property
     def stats(self) -> Dict:
-        return dict(self._stats, queue_depth=self._pending.qsize())
+        return dict(self._stats,
+                    queue_depth=self._pending.qsize() + len(self._waiting))
 
     # ------------------------------------------------------------------
     # worker side
     # ------------------------------------------------------------------
 
+    def _drain_arrivals(self) -> None:
+        """Move every already-arrived request from _pending into _waiting
+        (never blocks).  Worker thread only."""
+        while True:
+            try:
+                nxt = self._pending.get_nowait()
+            except queue.Empty:
+                return
+            if nxt is _SENTINEL:
+                self._stop.set()
+                return
+            self._waiting.append(nxt)
+
+    def _collect_start_burst(self) -> None:
+        """Before starting a batch: if a burst is evident (≥2 requests
+        already waiting), keep collecting briefly so the batch starts as
+        full as possible — rows prefilled together skip the position-gated
+        join path.  The window refreshes on each arrival and is capped;
+        a lone request starts with zero added latency."""
+        deadline = time.time() + START_WINDOW_CAP_S
+        while len(self._waiting) < self.B and not self._stop.is_set():
+            try:
+                nxt = self._pending.get_nowait()
+            except queue.Empty:
+                if len(self._waiting) < 2 or START_WINDOW_S <= 0:
+                    return
+                wait = min(START_WINDOW_S, deadline - time.time())
+                if wait <= 0:
+                    return
+                try:
+                    nxt = self._pending.get(timeout=wait)
+                except queue.Empty:
+                    return  # no new arrival inside the refresh window
+            if nxt is _SENTINEL:
+                self._stop.set()
+                return
+            self._waiting.append(nxt)
+
     def _run(self):
         batch: List[_Request] = []  # popped but not yet served
         try:
             while not self._stop.is_set():
-                first = self._pending.get()
-                if first is _SENTINEL or self._stop.is_set():
-                    break
-                batch = [first]
-                while len(batch) < self.B:
-                    try:
-                        nxt = self._pending.get_nowait()
-                    except queue.Empty:
+                if not self._waiting:
+                    first = self._pending.get()
+                    if first is _SENTINEL or self._stop.is_set():
                         break
-                    if nxt is _SENTINEL:
-                        self._stop.set()
-                        break
-                    batch.append(nxt)
+                    self._waiting.append(first)
+                self._collect_start_burst()
+                batch = self._waiting[: self.B]
+                del self._waiting[: self.B]
                 self._serve_batch(batch)
                 batch = []
         except Exception:  # catastrophic worker failure
             logger.exception("batcher worker died")
             self._stop.set()  # alive -> False before the drain, not after
-            for req in batch:  # in-flight batch members must not hang
+            # in-flight batch members and popped-but-waiting requests must
+            # not hang
+            for req in batch + self._waiting:
                 req.out_q.put(RuntimeError("batcher worker died"))
+            self._waiting = []
             while True:
                 try:
                     req = self._pending.get_nowait()
@@ -251,6 +310,9 @@ class ContinuousBatcher:
                 if req is not _SENTINEL:
                     req.out_q.put(RuntimeError("batcher worker died"))
         finally:
+            for req in self._waiting:  # terminate never-started streams
+                req.out_q.put(_SENTINEL)
+            self._waiting = []
             while True:  # drain: fail anything still queued at shutdown
                 try:
                     req = self._pending.get_nowait()
@@ -559,7 +621,7 @@ class ContinuousBatcher:
         # them would hang their clients)
         for _, req in deferred_joins:
             admitted.remove(req)
-            self._pending.put(req)
+        self._waiting[:0] = [req for _, req in deferred_joins]
         eng.release(cur_state)
         self._stats["active_rows"] = 0
 
@@ -648,7 +710,11 @@ class ContinuousBatcher:
 
     def _peek_admissible(self, pos_lb: int, pos_ub: int,
                          limit: int) -> Optional[_Request]:
-        """Pop the next pending request admissible into the running batch.
+        """Pop the next waiting request admissible into the running batch,
+        scanning the first ADMIT_SCAN waiting requests out of order — FIFO
+        preferred, but a request whose prompt bucket exceeds the current
+        position must not block admissible requests behind it (head-of-line
+        blocking measured at 2× aggregate throughput under saturation).
         With chunks in flight the true device position at the pipeline tail
         is only bracketed host-side: ``pos_lb`` (through the last fetched
         chunk) lower-bounds it, ``pos_ub`` (plus planned in-flight steps)
@@ -656,24 +722,28 @@ class ContinuousBatcher:
         bucket must fit below ``pos_lb`` (join splices [pos-Tb, pos) — an
         underflow corrupts the row), and the window must have room past
         ``pos_ub`` for the row to speak."""
-        try:
-            req = self._pending.queue[0]  # peek
-        except IndexError:
-            return None
-        if req is _SENTINEL:
-            return None
-        Tb = bucket_for(req.embeds.shape[1])
-        if Tb > pos_lb:
-            return None  # too early in the batch window — wait
-        if pos_ub + min(req.max_new_tokens, 64) > limit:
-            return None  # not enough window left to bother joining
-        if not self._bucket_join_ready(Tb):
-            return None  # join executable compiling in the background — wait
-        try:
-            got = self._pending.get_nowait()
-        except queue.Empty:
-            return None
-        return got if got is not _SENTINEL else None
+        self._drain_arrivals()
+        if any(r.cancelled for r in self._waiting):
+            # cancelled-while-waiting: terminate the stream now instead of
+            # spending a join program on a dead request
+            for r in self._waiting:
+                if r.cancelled:
+                    self._stats["cancelled"] += 1
+                    # every submitted request must eventually count as
+                    # served (ReplicaPool tracks inflight = submits-served)
+                    self._stats["served"] += 1
+                    r.out_q.put(_SENTINEL)
+            self._waiting[:] = [r for r in self._waiting if not r.cancelled]
+        for j, req in enumerate(self._waiting[:ADMIT_SCAN]):
+            Tb = bucket_for(req.embeds.shape[1])
+            if Tb > pos_lb:
+                continue  # too early in the batch window for THIS request
+            if pos_ub + min(req.max_new_tokens, 64) > limit:
+                continue  # not enough window left for it to speak
+            if not self._bucket_join_ready(Tb):
+                continue  # its join executable compiles in the background
+            return self._waiting.pop(j)
+        return None
 
     # ---- warmup
 

@@ -521,3 +521,132 @@ def test_unwarmed_join_bucket_compiles_off_thread(tiny_tts, ref_wav,
         assert b.stats["served"] == 2
     finally:
         b.close()
+
+
+# ---------------------------------------------------------------------------
+# admission policy units (no worker involvement: the worker is stopped and
+# the internals are driven directly — deterministic, no engine programs run)
+# ---------------------------------------------------------------------------
+
+def _stopped_batcher(tiny_tts):
+    """A batcher whose worker has exited cleanly (internals can then be
+    driven synchronously from the test thread)."""
+    from qwen3tts_tpu.runtime import scheduler as S
+
+    b = ContinuousBatcher(tiny_tts, max_batch=4, chunk_size=8,
+                          max_new_tokens=40, policy=NO_EOS)
+    b._pending.put(S._SENTINEL)
+    b._worker.join(timeout=10)
+    assert not b._worker.is_alive()
+    b._stop.clear()  # re-arm the internals for direct driving
+    return b
+
+
+def _req(tiny_tts, prompt_len, max_new_tokens=40):
+    from qwen3tts_tpu.runtime.scheduler import _Request
+
+    H = tiny_tts.cfg.talker.hidden_size
+    return _Request(
+        embeds=np.zeros((1, prompt_len, H), np.float32),
+        trailing=np.zeros((1, 4, H), np.float32),
+        tpe=np.zeros((1, 1, H), np.float32),
+        ref_codes=None, max_new_tokens=max_new_tokens)
+
+
+def test_admission_skips_blocked_head(tiny_tts):
+    """A long-prompt head whose bucket exceeds the batch position must not
+    block admissible requests queued behind it (head-of-line blocking
+    measured at 2x saturated throughput)."""
+    b = _stopped_batcher(tiny_tts)
+    b._join_ready.update({32, 128})  # pretend both join programs exist
+    long_req = _req(tiny_tts, 100)   # bucket 128
+    short_req = _req(tiny_tts, 20)   # bucket 32
+    b._waiting[:] = [long_req, short_req]
+    got = b._peek_admissible(pos_lb=40, pos_ub=40, limit=2047)
+    assert got is short_req, "short request was blocked behind the long head"
+    assert b._waiting == [long_req]
+    # once the position clears the head's bucket, FIFO order resumes
+    b._waiting[:] = [long_req, short_req]
+    got = b._peek_admissible(pos_lb=128, pos_ub=128, limit=2047)
+    assert got is long_req
+
+
+def test_admission_respects_window_budget_per_request(tiny_tts):
+    """A head that cannot fit its generation budget into the remaining
+    window is skipped in favor of one that can."""
+    b = _stopped_batcher(tiny_tts)
+    b._join_ready.update({32})
+    big_budget = _req(tiny_tts, 20, max_new_tokens=2048)
+    tiny_budget = _req(tiny_tts, 20, max_new_tokens=8)
+    b._waiting[:] = [big_budget, tiny_budget]
+    got = b._peek_admissible(pos_lb=2000, pos_ub=2000, limit=2047)
+    assert got is tiny_budget, "fit-able request was blocked behind the big one"
+
+
+def test_start_burst_collects_concurrent_arrivals(tiny_tts):
+    """When >=2 requests are already waiting, the batch-start window keeps
+    collecting arrivals (refreshing per arrival) so the batch starts full;
+    a lone request starts with no added wait."""
+    from qwen3tts_tpu.runtime import scheduler as S
+
+    b = _stopped_batcher(tiny_tts)
+    # lone request: returns immediately
+    b._waiting[:] = [_req(tiny_tts, 20)]
+    t0 = time.time()
+    b._collect_start_burst()
+    assert time.time() - t0 < S.START_WINDOW_S, "lone request waited"
+    assert len(b._waiting) == 1
+
+    # burst: two waiting, a third arrives inside the refresh window
+    b._waiting[:] = [_req(tiny_tts, 20), _req(tiny_tts, 20)]
+    late = _req(tiny_tts, 20)
+
+    def put_late():
+        time.sleep(S.START_WINDOW_S / 2)
+        b._pending.put(late)
+
+    threading.Thread(target=put_late).start()
+    b._collect_start_burst()
+    assert any(r is late for r in b._waiting), (
+        "in-window arrival missed the batch start")
+    assert len(b._waiting) == 3
+
+
+def test_long_head_does_not_delay_short_joiner_end_to_end(tiny_tts, ref_wav):
+    """Integration: with the only free row gated, a short request submitted
+    AFTER a long-prompt request still starts first (out-of-order admission),
+    and both are eventually served in full."""
+    spf = tiny_tts.vocoder.spf
+    b = ContinuousBatcher(tiny_tts, max_batch=2, chunk_size=4,
+                          max_new_tokens=200, policy=NO_EOS)
+    try:
+        first_chunk = threading.Event()
+        results = {}
+
+        def drain(name, h):
+            chunks = []
+            for a, _, _ in h.chunks():
+                chunks.append(a)
+                first_chunk.set()
+            results[name] = sum(len(c) for c in chunks)
+
+        # row A retires early (frees a row while pos is still small);
+        # row B keeps the batch alive long enough for every admission
+        ha = b.submit("A.", "English", ref_wav, "ref", max_new_tokens=24)
+        hb = b.submit("B.", "English", ref_wav, "ref", max_new_tokens=160)
+        ta = threading.Thread(target=drain, args=("a", ha))
+        tb = threading.Thread(target=drain, args=("b", hb))
+        ta.start(); tb.start()
+        assert first_chunk.wait(timeout=300)
+        long_text = " ".join(["lengthy, deliberately padded clause"] * 3)
+        hl = b.submit(long_text, "English", ref_wav, "ref", max_new_tokens=8)
+        hs = b.submit("Short.", "English", ref_wav, "ref", max_new_tokens=8)
+        drain("long", hl)
+        drain("short", hs)
+        ta.join(timeout=600); tb.join(timeout=600)
+        assert results["short"] == 8 * spf
+        assert results["long"] == 8 * spf
+        assert 0 < hs._req.started_at < hl._req.started_at, (
+            "short request should start before the gated long head")
+    finally:
+        b.close()
