@@ -93,9 +93,13 @@ def main():
     def drive(i, delay):
         time.sleep(delay)
         t_submit = time.time()
-        h = batcher.submit(TEXTS[i % len(TEXTS)], LANGUAGE, ref,
-                           "reference transcript",
-                           max_new_tokens=STEP_BUDGETS[i % len(STEP_BUDGETS)])
+        # arriving(): advertise before prompt prep, same as the OpenAI
+        # server — a saturated flood's batch then starts full instead of
+        # paying one position-gated join per straggler
+        with batcher.arriving():
+            h = batcher.submit(TEXTS[i % len(TEXTS)], LANGUAGE, ref,
+                               "reference transcript",
+                               max_new_tokens=STEP_BUDGETS[i % len(STEP_BUDGETS)])
         ttfa = None
         steps = 0
         tim = {}

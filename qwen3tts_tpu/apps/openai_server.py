@@ -167,10 +167,14 @@ def make_handler(state: TTSState):
                 max_new = int(req.get("max_new_tokens", 2048))
                 if state.batcher is not None:
                     # continuous batching: no lock — the scheduler's worker
-                    # owns the TPU and this request joins the running batch
-                    handle = state.batcher.submit(
-                        text, language, voice["ref_audio"],
-                        voice.get("ref_text", ""), max_new_tokens=max_new)
+                    # owns the TPU and this request joins the running batch.
+                    # arriving(): a concurrent burst is advertised before
+                    # the host-side prompt prep so the batch-start collector
+                    # waits for the whole flood (scheduler.py)
+                    with state.batcher.arriving():
+                        handle = state.batcher.submit(
+                            text, language, voice["ref_audio"],
+                            voice.get("ref_text", ""), max_new_tokens=max_new)
                     stream = handle.chunks()
                 else:
                     stream = None

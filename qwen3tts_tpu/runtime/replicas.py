@@ -26,6 +26,7 @@ sub-mesh, replicate sub-meshes behind the pool.
 """
 from __future__ import annotations
 
+import contextlib
 import logging
 import threading
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -102,6 +103,16 @@ class ReplicaPool:
                 logger.error("replica %d (%s) is dead; routing around it",
                              i, self.devices[i])
         return live
+
+    @contextlib.contextmanager
+    def arriving(self):
+        """Advertise an in-flight request to every replica's burst
+        collector (ContinuousBatcher.arriving): routing happens at submit
+        time, so before prep finishes any replica might receive it."""
+        with contextlib.ExitStack() as stack:
+            for b in list(self.batchers):
+                stack.enter_context(b.arriving())
+            yield
 
     def submit(self, *args, **kwargs) -> StreamHandle:
         """Route to the least-loaded live replica (same signature as

@@ -18,6 +18,7 @@ fully independent.
 """
 from __future__ import annotations
 
+import contextlib
 import hashlib
 import logging
 import os
@@ -67,12 +68,19 @@ ADMIT_SCAN = 16
 # Batch-start burst collection: when ≥2 requests are already waiting as a
 # batch forms (a concurrent burst), the worker briefly keeps collecting —
 # a batch that starts full prefills ALL rows in one stacked program and
-# skips the position-gated join path entirely.  The window refreshes per
-# arrival (host-side prompt prep spaces a flood's submits out by ~10 ms)
-# and is capped overall.  A single waiting request starts immediately, so
-# light-load TTFA pays nothing.
+# skips the position-gated join path entirely.  The refresh window SCALES
+# with how many requests are already waiting (more waiting = stronger
+# flood evidence = worth waiting longer for the next arrival): under a
+# 24-request flood whose submits land ~40 ms apart (GIL-serialized host
+# prompt prep), a fixed 20 ms window started the batch 4/8 full and the
+# stragglers all paid the position-gated join path (measured: batch
+# started rows=4, 20 mid-batch joins).  A single waiting request still
+# starts immediately, and a 2-request light burst waits at most one
+# 3×window refresh, so light-load TTFA pays ≤ ~60 ms only when a second
+# request is ALREADY queued.
 START_WINDOW_S = float(os.environ.get("QWEN3TTS_BATCH_START_WINDOW", "0.02"))
-START_WINDOW_CAP_S = 0.12
+START_WINDOW_CAP_S = float(
+    os.environ.get("QWEN3TTS_BATCH_START_CAP", "0.6"))
 
 
 @dataclass
@@ -169,6 +177,10 @@ class ContinuousBatcher:
         self._compiling_buckets: set = set()
         self._stats = {"served": 0, "joined_mid_batch": 0, "batches": 0,
                        "cancelled": 0, "active_rows": 0}
+        # arrivals advertised via ``arriving()`` but not yet submitted:
+        # the burst collector keeps collecting while any are in flight
+        self._incoming = 0
+        self._incoming_lock = threading.Lock()
         # requests the worker has popped from _pending but not yet admitted
         # (worker-thread-only; admission scans it out of order, see
         # _peek_admissible)
@@ -180,6 +192,27 @@ class ContinuousBatcher:
     # ------------------------------------------------------------------
     # client side
     # ------------------------------------------------------------------
+
+    @contextlib.contextmanager
+    def arriving(self):
+        """Advertise a request BEFORE its host-side prompt prep.
+
+        Under a concurrent flood, submits land tens of ms apart (prep is
+        GIL-serialized), so the worker otherwise starts the batch with
+        whatever trickled in first and every straggler pays the
+        position-gated ``join_row`` path (measured: a 24-request flood
+        started rows=4 with 20 mid-batch joins).  Wrapping the prep+submit
+        in ``arriving()`` lets ``_collect_start_burst`` keep collecting —
+        bounded by START_WINDOW_CAP_S — while ANY advertised arrival has
+        not yet submitted.  Costs nothing at light load: with no arrivals
+        advertised, batch start is as eager as before."""
+        with self._incoming_lock:
+            self._incoming += 1
+        try:
+            yield
+        finally:
+            with self._incoming_lock:
+                self._incoming -= 1
 
     def submit(
         self,
@@ -257,23 +290,31 @@ class ContinuousBatcher:
 
     def _collect_start_burst(self) -> None:
         """Before starting a batch: if a burst is evident (≥2 requests
-        already waiting), keep collecting briefly so the batch starts as
+        already waiting, or arrivals advertised via ``arriving()`` are
+        still preparing), keep collecting briefly so the batch starts as
         full as possible — rows prefilled together skip the position-gated
-        join path.  The window refreshes on each arrival and is capped;
-        a lone request starts with zero added latency."""
+        join path.  The window refreshes on each arrival, scales with the
+        evidence (more waiting = worth waiting longer for the next), and
+        is capped overall; a lone request with nothing advertised starts
+        with zero added latency."""
         deadline = time.time() + START_WINDOW_CAP_S
         while len(self._waiting) < self.B and not self._stop.is_set():
             try:
                 nxt = self._pending.get_nowait()
             except queue.Empty:
-                if len(self._waiting) < 2 or START_WINDOW_S <= 0:
+                burst = len(self._waiting) >= 2 or self._incoming > 0
+                if not burst or START_WINDOW_S <= 0:
                     return
-                wait = min(START_WINDOW_S, deadline - time.time())
+                # flood-evidence-scaled refresh: n waiting → n+1 windows
+                wait = min(START_WINDOW_S * (len(self._waiting) + 1),
+                           deadline - time.time())
                 if wait <= 0:
                     return
                 try:
                     nxt = self._pending.get(timeout=wait)
                 except queue.Empty:
+                    if self._incoming > 0 and time.time() < deadline:
+                        continue  # advertised arrivals still preparing
                     return  # no new arrival inside the refresh window
             if nxt is _SENTINEL:
                 self._stop.set()
@@ -485,6 +526,7 @@ class ContinuousBatcher:
                                      | jnp.asarray(pending_force))
                 pending_force = np.zeros((B,), bool)
             for b, req in deferred_joins:
+                t_j0 = time.time()
                 # no _check_warmed here: admission already gated on
                 # _bucket_join_ready, so the executable exists by now
                 cur_state = eng.join_row(
@@ -492,6 +534,7 @@ class ContinuousBatcher:
                     policy=self.policy, pred_policy=self.pred_policy,
                     knobs=self.knobs, pos_hint=pos_lb,
                 )
+                t_j1 = time.time()
                 L = req.trailing.shape[1]
                 if L > tth_dev.shape[1]:  # re-bucket the shared tth array
                     new_w = bucket_for(L, TTH_BUCKETS)
@@ -515,6 +558,12 @@ class ContinuousBatcher:
                 activations.append((b, req))
                 self._stats["joined_mid_batch"] += 1
                 self._start_request(req)
+                if _TRACE:
+                    logger.info(
+                        "join row=%d bucket=%d join_row=%.1fms "
+                        "tth+scatter=%.1fms", b,
+                        bucket_for(req.embeds.shape[1]),
+                        (t_j1 - t_j0) * 1e3, (time.time() - t_j1) * 1e3)
             if deferred_joins:
                 ramp[:] = self.first_chunks  # joiner TTFA: re-run the ramp
             deferred_joins = []
@@ -599,6 +648,12 @@ class ContinuousBatcher:
                 deferred_joins.append((b, req))
                 admitted.append(req)
 
+            if _TRACE:
+                t_tail = time.time()
+                if t_tail - t_chunk > 0.005:
+                    logger.info("emit+admit tail=%.1fms retires=%d admits=%d",
+                                (t_tail - t_chunk) * 1e3, len(retires),
+                                len(deferred_joins))
             self._stats["active_rows"] = sum(r is not None for r in rows)
             if not any(r is not None for r in row_owner) \
                     and not deferred_joins:

@@ -612,6 +612,34 @@ def test_start_burst_collects_concurrent_arrivals(tiny_tts):
     assert len(b._waiting) == 3
 
 
+def test_arriving_hint_holds_batch_start_for_preparing_flood(tiny_tts):
+    """A lone waiting request normally starts immediately — but while
+    arrivals advertised via ``arriving()`` are still preparing (the OpenAI
+    server wraps prep+submit in it), the collector keeps waiting, bounded
+    by the cap, so a cold flood's batch starts full instead of paying one
+    position-gated join per straggler."""
+    from qwen3tts_tpu.runtime import scheduler as S
+
+    b = _stopped_batcher(tiny_tts)
+    b._waiting[:] = [_req(tiny_tts, 20)]
+    late = _req(tiny_tts, 20)
+    cm = b.arriving()
+    cm.__enter__()
+
+    def put_late():
+        # land well past the lone-request give-up point: only the
+        # advertised-arrival path can still be collecting by then
+        time.sleep(S.START_WINDOW_S * 3)
+        b._pending.put(late)
+        cm.__exit__(None, None, None)
+
+    threading.Thread(target=put_late).start()
+    b._collect_start_burst()
+    assert any(r is late for r in b._waiting), (
+        "advertised arrival missed the batch start")
+    assert len(b._waiting) == 2
+
+
 def test_long_head_does_not_delay_short_joiner_end_to_end(tiny_tts, ref_wav):
     """Integration: with the only free row gated, a short request submitted
     AFTER a long-prompt request still starts first (out-of-order admission),
