@@ -82,6 +82,19 @@ START_WINDOW_S = float(os.environ.get("QWEN3TTS_BATCH_START_WINDOW", "0.02"))
 START_WINDOW_CAP_S = float(
     os.environ.get("QWEN3TTS_BATCH_START_CAP", "0.6"))
 
+# Adaptive post-join TTFA ramp: re-running the first_chunks ramp after a
+# join only pays when the joiner's clock is latency-dominated.  A joiner
+# that already sat ≥ this long in the queue is saturated — the ramp could
+# shave at most ~(chunk_size - first_chunks[0]) steps (~50 ms) off a TTFA
+# that queueing already pushed into the seconds, while every small chunk
+# taxes ALL rows' throughput (measured: a saturated 24-request soak ran
+# 486.6 frames/s without the post-join ramp vs 310.4 with it on a 28 ms-RTT
+# day — each ramp chunk pays the same fixed dispatch+fetch cost as a full
+# one).  Fresh joiners (light load) still get the ramp and its ~40 ms TTFA
+# win.  The batch-START ramp is unconditional either way: it runs once and
+# covers the initial rows' TTFA.
+RAMP_FRESH_S = float(os.environ.get("QWEN3TTS_RAMP_FRESH", "0.25"))
+
 
 @dataclass
 class _Request:
@@ -564,7 +577,8 @@ class ContinuousBatcher:
                         "tth+scatter=%.1fms", b,
                         bucket_for(req.embeds.shape[1]),
                         (t_j1 - t_j0) * 1e3, (time.time() - t_j1) * 1e3)
-            if deferred_joins:
+            if deferred_joins and self._ramp_after_join(
+                    [req for _, req in deferred_joins]):
                 ramp[:] = self.first_chunks  # joiner TTFA: re-run the ramp
             deferred_joins = []
             t_join_done = time.time()
@@ -684,6 +698,16 @@ class ContinuousBatcher:
 
     def _start_request(self, req: _Request):
         req.started_at = time.time()
+
+    def _ramp_after_join(self, joined: List[_Request]) -> bool:
+        """Re-run the TTFA ramp only when some joiner is latency-dominated
+        (queue wait under RAMP_FRESH_S).  Saturated joiners spent seconds in
+        the queue — a ~50 ms ramp saving is noise to them, but the small
+        chunks tax every live row's throughput (see RAMP_FRESH_S)."""
+        if not self.first_chunks:
+            return False
+        return any(r.started_at - r.submitted_at < RAMP_FRESH_S
+                   for r in joined)
 
     def _primed_state(self, req: _Request):
         """Single-row codec stream state primed with the request's ICL

@@ -394,11 +394,17 @@ def test_randomized_stress_mixed_cancels_and_budgets(tiny_tts, ref_wav,
         b.close()
 
 
-def test_first_chunks_ramp_cuts_first_audio_size(tiny_tts, ref_wav):
+def test_first_chunks_ramp_cuts_first_audio_size(tiny_tts, ref_wav,
+                                                 monkeypatch):
     """``first_chunks`` TTFA ramp: after batch start AND after a mid-batch
     join the dispatch sizes re-run the ramp, so the newest row's first
     audio chunk is ramp[0] frames (not chunk_size) — while every stream
     still delivers exactly its budget."""
+    from qwen3tts_tpu.runtime import scheduler as S
+
+    # pin the joiner as "fresh" regardless of test-machine speed: this test
+    # asserts the light-load ramp contract, not the saturation skip
+    monkeypatch.setattr(S, "RAMP_FRESH_S", 60.0)
     spf = tiny_tts.vocoder.spf
     b = ContinuousBatcher(tiny_tts, max_batch=2, chunk_size=4,
                           max_new_tokens=24, policy=NO_EOS,
@@ -638,6 +644,32 @@ def test_arriving_hint_holds_batch_start_for_preparing_flood(tiny_tts):
     assert any(r is late for r in b._waiting), (
         "advertised arrival missed the batch start")
     assert len(b._waiting) == 2
+
+
+def test_post_join_ramp_skips_saturated_joiners(tiny_tts):
+    """The post-join TTFA ramp re-runs only for latency-dominated joiners
+    (queue wait < RAMP_FRESH_S).  A joiner that queued for seconds gains
+    ~50 ms from the ramp while every small chunk taxes all rows' throughput
+    (measured: saturated 486.6 frames/s without the post-join ramp vs 310.4
+    with it), so saturated joins keep full-size chunks."""
+    b = _stopped_batcher(tiny_tts)
+    b.first_chunks = (2, 4)
+    now = time.time()
+
+    fresh = _req(tiny_tts, 20)
+    fresh.submitted_at = now - 0.01
+    fresh.started_at = now
+
+    stale = _req(tiny_tts, 20)
+    stale.submitted_at = now - 10.0
+    stale.started_at = now
+
+    assert b._ramp_after_join([fresh])
+    assert not b._ramp_after_join([stale])
+    # one fresh joiner in the group is enough — its TTFA is on the line
+    assert b._ramp_after_join([stale, fresh])
+    b.first_chunks = ()
+    assert not b._ramp_after_join([fresh])  # no ramp configured at all
 
 
 def test_long_head_does_not_delay_short_joiner_end_to_end(tiny_tts, ref_wav):
