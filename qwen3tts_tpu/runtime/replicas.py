@@ -145,7 +145,7 @@ class ReplicaPool:
         agg = {
             k: sum(s[k] for s in per)
             for k in ("served", "joined_mid_batch", "batches", "cancelled",
-                      "active_rows", "queue_depth")
+                      "active_rows", "queue_depth", "retired_predictively")
         }
         agg["replicas"] = [
             dict(s, device=str(d), inflight=self._inflight(i),

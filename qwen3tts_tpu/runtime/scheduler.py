@@ -111,6 +111,14 @@ class _Request:
     chunk_index: int = 0
     row: int = -1
     cancelled: bool = False
+    # predictive budget retirement: dispatched-step upper bound and the
+    # "this row is certainly retiring by its in-flight chunk's fetch" flag
+    planned: int = 0
+    retiring: bool = False
+    # admission-time async uploads (overlap host->device transfer with the
+    # running batch instead of paying it inside the tail join)
+    embeds_dev: Optional[object] = None
+    tth_row_dev: Optional[object] = None
 
 
 class StreamHandle:
@@ -189,7 +197,8 @@ class ContinuousBatcher:
         self._join_ready: set = self.engine._join_ready_buckets
         self._compiling_buckets: set = set()
         self._stats = {"served": 0, "joined_mid_batch": 0, "batches": 0,
-                       "cancelled": 0, "active_rows": 0}
+                       "cancelled": 0, "active_rows": 0,
+                       "retired_predictively": 0}
         # arrivals advertised via ``arriving()`` but not yet submitted:
         # the burst collector keeps collecting while any are in flight
         self._incoming = 0
@@ -428,9 +437,15 @@ class ContinuousBatcher:
             mask[len(initial):] = True
             state["done"] = state["done"] | jnp.asarray(mask)
 
-        # --- per-row tth arrays (device), re-bucketed as needed
-        tth_w = bucket_for(max(max(r.trailing.shape[1] for r in initial), 1),
-                           TTH_BUCKETS)
+        # --- per-row tth arrays (device), re-bucketed as needed.  Width
+        # starts at the warmup-covered bucket (floor): a mid-serve re-bucket
+        # re-uploads the whole (B, W, H) array through the tunnel while every
+        # live stream waits (measured 185 ms on a 28 ms-RTT day), so pay the
+        # few hundred KB up front and make every join a row scatter instead.
+        tth_w = max(
+            bucket_for(max(max(r.trailing.shape[1] for r in initial), 1),
+                       TTH_BUCKETS),
+            getattr(self, "_tth_floor", 0))
         tth = np.zeros((B, tth_w, H), np.float32)
         tth_lens = np.zeros((B,), np.int32)
         tpe = np.zeros((B, 1, H), np.float32)
@@ -521,6 +536,27 @@ class ContinuousBatcher:
             q.append((out, done_snap, activations, size))
             activations = []
             inflight_steps += size
+            # --- predictive budget retirement: the chunk just dispatched
+            # takes each live tail row to ``planned`` steps (an upper bound —
+            # early device EOS only retires it sooner).  A row whose budget
+            # is exhausted by an IN-FLIGHT chunk is certainly retiring by
+            # that chunk's fetch, so free its tail slot NOW: the replacement
+            # joins ~pipeline-depth chunks earlier than fetch-time discovery
+            # would allow (measured: live=4..7 stretches between retire and
+            # join dominate the saturated-throughput gap vs the raw batched
+            # engine).  Bookkeeping (frame trim + finish) still happens at
+            # the fetch, via ``rows``; the force below stops the device from
+            # stepping the stale row past the exhausting chunk.
+            for b in range(B):
+                r = row_owner[b]
+                if r is None or r.retiring:
+                    continue
+                r.planned += size
+                if r.planned >= r.max_new_tokens:
+                    r.retiring = True
+                    pending_force[b] = True
+                    row_owner[b] = None
+                    self._stats["retired_predictively"] += 1
 
         dispatch_one()
         t_chunk = time.time()
@@ -542,8 +578,11 @@ class ContinuousBatcher:
                 t_j0 = time.time()
                 # no _check_warmed here: admission already gated on
                 # _bucket_join_ready, so the executable exists by now
+                embeds_dev = req.embeds_dev if req.embeds_dev is not None \
+                    else jnp.asarray(req.embeds, eng.dtype)
+                req.embeds_dev = None
                 cur_state = eng.join_row(
-                    cur_state, b, jnp.asarray(req.embeds, eng.dtype),
+                    cur_state, b, embeds_dev,
                     policy=self.policy, pred_policy=self.pred_policy,
                     knobs=self.knobs, pos_hint=pos_lb,
                 )
@@ -556,10 +595,18 @@ class ContinuousBatcher:
                         [grown, np.tile(tpe, (1, new_w - grown.shape[1], 1))],
                         axis=1)
                     tth_dev = jnp.asarray(grown, eng.dtype)
-                row_t = np.asarray(req.trailing[0], np.float32)
-                row_full = np.tile(req.tpe[0], (tth_dev.shape[1], 1))
-                row_full[:L] = row_t
-                tth_dev = tth_dev.at[b].set(jnp.asarray(row_full, eng.dtype))
+                # width check guards against a re-bucket (by this or an
+                # earlier join in the same group) since the pre-upload
+                if req.tth_row_dev is not None \
+                        and req.tth_row_dev.shape[0] == tth_dev.shape[1]:
+                    row_dev = req.tth_row_dev
+                    req.tth_row_dev = None
+                else:
+                    req.tth_row_dev = None
+                    row_full = np.tile(req.tpe[0], (tth_dev.shape[1], 1))
+                    row_full[:L] = np.asarray(req.trailing[0], np.float32)
+                    row_dev = jnp.asarray(row_full, eng.dtype)
+                tth_dev = tth_dev.at[b].set(row_dev)
                 tpe[b] = req.tpe[0]
                 tpe_dev = tpe_dev.at[b].set(jnp.asarray(req.tpe[0], eng.dtype))
                 tth_lens[b] = L
@@ -639,16 +686,23 @@ class ContinuousBatcher:
                 if bool(row_done[b]) or over_budget or req.cancelled:
                     if req.cancelled:
                         self._stats["cancelled"] += 1
-                    if not bool(row_done[b]):
+                    if not bool(row_done[b]) and not req.retiring:
                         # over-budget OR cancelled: mark done on device too
                         # (applied at the tail next iteration) so the row
-                        # stops burning decode steps
+                        # stops burning decode steps.  A predictively-retired
+                        # row was already forced when its slot was freed —
+                        # re-forcing here would kill the NEW occupant that
+                        # may have joined the slot since.
                         pending_force[b] = True
                     retires.append(b)
             for b in retires:
-                self._finish_request(rows[b])
+                req = rows[b]
+                self._finish_request(req)
                 rows[b] = None
-                row_owner[b] = None  # slot reusable at the tail
+                if row_owner[b] is req:
+                    row_owner[b] = None  # slot reusable at the tail
+                # else: predictive retirement freed the slot at dispatch
+                # time and a new request may already own it
 
             # --- decide admissions; they join at the tail next iteration
             for b in range(B):
@@ -659,6 +713,16 @@ class ContinuousBatcher:
                                             limit)
                 if req is None:
                     break
+                # start the joiner's host->device uploads NOW (async): by the
+                # time the join runs at the tail next iteration the transfers
+                # have ridden the wire behind the running chunks instead of
+                # blocking the worker inside the join
+                req.embeds_dev = jnp.asarray(req.embeds, eng.dtype)
+                L = req.trailing.shape[1]
+                if L <= tth_dev.shape[1]:
+                    row_full = np.tile(req.tpe[0], (tth_dev.shape[1], 1))
+                    row_full[:L] = req.trailing[0]
+                    req.tth_row_dev = jnp.asarray(row_full, eng.dtype)
                 deferred_joins.append((b, req))
                 admitted.append(req)
 
@@ -670,11 +734,17 @@ class ContinuousBatcher:
                                 len(deferred_joins))
             self._stats["active_rows"] = sum(r is not None for r in rows)
             if not any(r is not None for r in row_owner) \
-                    and not deferred_joins:
+                    and not any(r is not None for r in rows) \
+                    and not deferred_joins and not admitted:
                 # batch over.  Chunks still in flight carry no deliverable
                 # frames: device-done rows generate zero-length chunks, and
                 # forced rows' overshoot is over-budget (trimmed at emission
-                # anyway) — skip their fetches entirely.
+                # anyway) — skip their fetches entirely.  With predictive
+                # retirement the tail view empties EARLY, so ``rows`` (frames
+                # of a retiring row still in flight) and ``admitted`` (a
+                # joiner whose first chunk is still in flight) must be empty
+                # too — breaking past either drops deliverable audio and
+                # hangs its client.
                 break
 
         # --- wind-down.  Any request still owned at the tail hit the
@@ -922,6 +992,10 @@ class ContinuousBatcher:
         # `out` None below
         warm = [b for b in TTH_BUCKETS
                 if b <= (max_tth or TTH_BUCKETS[-1])] or [TTH_BUCKETS[0]]
+        # serve batches allocate tth at this width from the start, so a
+        # joiner inside the warmed range is a row scatter, never a full
+        # (B, W, H) re-upload mid-serve
+        self._tth_floor = warm[-1]
         sizes = list(dict.fromkeys(list(self.first_chunks)
                                    + [self.chunk_size]))
         for tb in warm:

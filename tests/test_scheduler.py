@@ -646,6 +646,53 @@ def test_arriving_hint_holds_batch_start_for_preparing_flood(tiny_tts):
     assert len(b._waiting) == 2
 
 
+def test_predictive_budget_retirement_frees_slot_early(tiny_tts, ref_wav):
+    """A row whose budget is exhausted by an in-flight chunk is retired at
+    DISPATCH time (the fetch can only confirm it), so its replacement joins
+    ~pipeline-depth chunks earlier.  Every stream must still deliver exactly
+    its budget — the retiring row's final frames ride chunks that are still
+    in flight when the slot is handed over."""
+    spf = tiny_tts.vocoder.spf
+    b = ContinuousBatcher(tiny_tts, max_batch=2, chunk_size=4,
+                          max_new_tokens=64, policy=NO_EOS)
+    b.warmup(prefill_buckets=(32,), max_tth=16)
+    try:
+        budgets = {"a": 8, "b": 16, "c": 12}
+        handles = {
+            "a": b.submit("Seed one.", "English", ref_wav, "ref",
+                          max_new_tokens=budgets["a"]),
+            "b": b.submit("Seed two.", "English", ref_wav, "ref",
+                          max_new_tokens=budgets["b"]),
+        }
+        results = {}
+        first_chunk = threading.Event()
+
+        def drain(name, h):
+            chunks = []
+            for a, _, _ in h.chunks():
+                chunks.append(a)
+                first_chunk.set()
+            results[name] = sum(len(x) for x in chunks)
+
+        threads = [threading.Thread(target=drain, args=(n, h))
+                   for n, h in handles.items()]
+        for t in threads:
+            t.start()
+        assert first_chunk.wait(timeout=300)
+        # joins into the slot request "a" predictively vacates at budget 8
+        hc = b.submit("Late joiner.", "English", ref_wav, "ref",
+                      max_new_tokens=budgets["c"])
+        drain("c", hc)
+        for t in threads:
+            t.join(timeout=600)
+        for name, budget in budgets.items():
+            assert results[name] == budget * spf, (name, results[name])
+        assert b.stats["retired_predictively"] >= 1, b.stats
+        assert b.stats["served"] == 3
+    finally:
+        b.close()
+
+
 def test_post_join_ramp_skips_saturated_joiners(tiny_tts):
     """The post-join TTFA ramp re-runs only for latency-dominated joiners
     (queue wait < RAMP_FRESH_S).  A joiner that queued for seconds gains
