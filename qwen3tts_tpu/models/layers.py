@@ -154,6 +154,7 @@ def block_forward(
     spec: BlockSpec,
     flash_ctx: Optional[Dict] = None,  # {"pos","pad","window"} → Pallas decode
     fused: bool = False,  # Pallas weight-streaming kernels (ops/fused_block.py)
+    sliding: Optional[jnp.ndarray] = None,  # traced bool — THIS layer slides
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """One decoder block over an S-slot static KV cache.  Returns
     (x_out, kv').
@@ -228,12 +229,27 @@ def block_forward(
         # reading layer ``layer_idx`` directly out of the stacked cache
         from ..ops.flash_decode import flash_decode_stacked
 
-        attn = flash_decode_stacked(
-            q[:, 0], kv["k"], kv["v"], layer_idx,
-            flash_ctx["pos"], flash_ctx["pad"],
-            sliding_window=flash_ctx.get("window"),
-            k_scale=kv.get("ks"), v_scale=kv.get("vs"),
-        )[:, None]
+        def _flash(window):
+            return flash_decode_stacked(
+                q[:, 0], kv["k"], kv["v"], layer_idx,
+                flash_ctx["pos"], flash_ctx["pad"],
+                sliding_window=window,
+                k_scale=kv.get("ks"), v_scale=kv.get("vs"),
+            )[:, None]
+
+        win = flash_ctx.get("window")
+        if win is not None and sliding is not None:
+            # Mixed layer_types stack (upstream Qwen3 carries
+            # "sliding_attention" layers; reference talker_graph.py:76,
+            # predictor_graph.py:96-104): the window is a STATIC kernel
+            # parameter (it sets the DMA start block), so per-layer choice
+            # inside the layer scan is a two-way cond over two compiled
+            # kernel variants — both trace once, and each step runs only
+            # the selected branch.
+            attn = jax.lax.cond(
+                sliding, lambda: _flash(win), lambda: _flash(None))
+        else:
+            attn = _flash(win)
     elif Tq > 1 and mask.shape[-1] == Tq:
         # Prefill with a LOCAL [B, T, T] mask: attend over the just-computed
         # prompt K/V instead of reading the padded S-slot cache back — the
@@ -316,7 +332,8 @@ def stack_forward(
         lp, sliding, l = inp
         m = jnp.where(sliding, mask_sliding, mask_full)
         xc, kvc = block_forward(lp, xc, cos, sin, kvc, l, write_pos, m,
-                                spec, flash_ctx=flash_ctx, fused=fused)
+                                spec, flash_ctx=flash_ctx, fused=fused,
+                                sliding=sliding)
         return (xc, kvc), None
 
     (x_out, kv_new), _ = jax.lax.scan(

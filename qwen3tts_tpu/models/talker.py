@@ -202,10 +202,13 @@ def decode_step(
         else None
     )
 
-    # Pallas flash-decode only covers uniform (non-sliding) stacks for now
+    # Pallas flash-decode covers full AND sliding layers: the window is a
+    # static kernel parameter (sets the DMA start block, flash_decode.py:63-64)
+    # so mixed layer_types stacks cond per layer between the two compiled
+    # variants (layers.py block_forward).
     flash_ctx = None
-    if use_flash and cfg.sliding_window is None:
-        flash_ctx = {"pos": pos, "pad": pad_count, "window": None}
+    if use_flash:
+        flash_ctx = {"pos": pos, "pad": pad_count, "window": cfg.sliding_window}
 
     x, kv = stack_forward(
         params["blocks"],

@@ -136,7 +136,6 @@ class Engine:
             # and Mosaic requires the head dim to be lane-aligned (128)
             use_flash_decode = (
                 jax.default_backend() not in ("cpu",)
-                and cfg.talker.sliding_window is None
                 and cfg.talker.head_dim % 128 == 0
             )
         self.use_flash_decode = use_flash_decode

@@ -100,3 +100,48 @@ def test_pad_beyond_pos_row_is_zero_and_starts_no_dma():
     for b in (0, 2):
         ref = flash_decode_reference(q[b], k[b], v[b], pos, pads[b])
         np.testing.assert_allclose(out[b], np.asarray(ref), atol=1e-5)
+
+
+def test_mixed_sliding_stack_flash_matches_masked():
+    """Mixed ``layer_types`` stack (upstream Qwen3 carries sliding_attention
+    layers; reference talker_graph.py:76, predictor_graph.py:96-104): the
+    flash path conds per layer between a windowed and a full kernel variant
+    (models/layers.py block_forward) — it must match the masked-XLA path
+    exactly, and the sliding layers must actually bite."""
+    from qwen3tts_tpu.core.config import TalkerConfig
+    from qwen3tts_tpu.models import talker as T
+
+    def mk(layer_types):
+        return TalkerConfig(
+            hidden_size=64, num_hidden_layers=4, num_attention_heads=4,
+            num_key_value_heads=2, head_dim=16, intermediate_size=128,
+            mrope_section=(4, 2, 2), vocab_size=256, text_vocab_size=64,
+            text_hidden_size=64, speaker_embed_dim=64,
+            sliding_window=8, layer_types=layer_types,
+        )
+
+    cfg = mk(("full_attention", "sliding_attention") * 2)
+    params = T.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    H = cfg.hidden_size
+    embeds = jax.random.normal(jax.random.PRNGKey(1), (2, 12, H), jnp.float32) * 0.1
+    pad = jnp.asarray([0, 3], jnp.int32)
+
+    def run(cfg, use_flash):
+        kv = T.new_kv_cache(cfg, batch=2, max_len=32, dtype=jnp.float32)
+        _, _, kv = T.prefill(params, cfg, embeds, pad, kv)
+        x = jax.random.normal(jax.random.PRNGKey(2), (2, 1, H), jnp.float32) * 0.1
+        outs = []
+        for pos in (12, 13):  # past the window for row 0 (eff pos > 8)
+            x2, kv = T.decode_step(params, cfg, x, jnp.int32(pos), pad, kv,
+                                   use_flash=use_flash)
+            outs.append(np.asarray(x2))
+        return np.stack(outs)
+
+    out_flash = run(cfg, True)
+    out_masked = run(cfg, False)
+    np.testing.assert_allclose(out_flash, out_masked, rtol=1e-5, atol=1e-5)
+
+    # guard against a vacuous pass: an all-full stack must give a DIFFERENT
+    # answer at these positions (the window is genuinely active)
+    out_allfull = run(mk(("full_attention",) * 4), True)
+    assert not np.allclose(out_flash, out_allfull, atol=1e-5)
