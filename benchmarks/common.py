@@ -89,5 +89,12 @@ def write_results(name: str, payload: dict):
     out = Path(os.environ.get("BENCH_OUT", f"bench_results_{device_tag()}.json"))
     existing = json.loads(out.read_text()) if out.exists() else {}
     existing[name] = payload
-    out.write_text(json.dumps(existing, indent=2))
+    out.write_text(json.dumps(existing, indent=2) + "\n")
     print(json.dumps({name: payload}, indent=2))
+
+
+def invocation_record(*env_keys: str) -> dict:
+    """The env knobs that produced a record, so any artifact entry can be
+    regenerated from the repo alone (ADVICE r3: a SOAK_TAG-overridden record
+    was not reproducible without knowing its invocation)."""
+    return {k: os.environ[k] for k in env_keys if k in os.environ}

@@ -26,7 +26,8 @@ from common import (LANGUAGE, TEXT, device_tag, load_model,  # noqa: E402
                     make_ref_audio, model_name, write_results)
 
 from qwen3tts_tpu.utils.quality import (  # noqa: E402
-    fixed_generation, log_mel_distance, token_agreement, waveform_snr_db)
+    fixed_generation, log_mel_distance, teacher_forced_quality,
+    token_agreement, waveform_snr_db)
 
 def artifact_for_mode(mode: str):
     """Speed-artifact JSON patched with quality_vs_bf16 (bench.py naming:
@@ -66,12 +67,13 @@ def main():
     ref_audio = make_ref_audio()
     print(f"reference run: bf16 {model_name()} ({args.steps} steps)",
           file=sys.stderr)
+    # the bf16 model stays live for the whole run: the teacher-forced
+    # comparison needs its logits against every quantized mode (v5e HBM
+    # holds the bf16 0.6B + one quantized copy comfortably)
     m = load_model(dtype="bf16")
     ids_ref, wav_ref = fixed_generation(
         m, TEXT, ref_audio, "bench reference", LANGUAGE, args.steps, args.seed)
     sr = m.sample_rate
-    del m
-    gc.collect()
 
     results = {}
     for mode in args.modes.split(","):
@@ -89,6 +91,12 @@ def main():
             "log_mel_dist": round(log_mel_distance(wav_ref, wav_q, sr), 4),
         }
         rec.update(token_agreement(ids_ref, ids_q))
+        # token-matched fidelity (the primary claim): both models over the
+        # bf16 run's code history — quantization noise without free-running
+        # divergence
+        rec["teacher_forced"] = teacher_forced_quality(
+            m, mq, text=TEXT, ref_audio=ref_audio, ref_text="bench reference",
+            language=LANGUAGE, codes=ids_ref)
         results[mode] = rec
         del mq
         gc.collect()

@@ -22,6 +22,7 @@ shared artifact machinery.
 """
 from __future__ import annotations
 
+import logging
 import math
 import os
 import sys
@@ -33,7 +34,13 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
-from common import LANGUAGE, make_ref_audio, model_name, write_results  # noqa: E402
+from common import (LANGUAGE, invocation_record, make_ref_audio,  # noqa: E402
+                    model_name, write_results)
+
+if os.environ.get("QWEN3TTS_BATCH_TRACE", "0") == "1":
+    # the scheduler's per-chunk trace is logger.info — surface it
+    logging.basicConfig(level=logging.INFO, stream=sys.stderr,
+                        format="%(relativeCreated)8.0fms %(message)s")
 
 N_REQUESTS = int(os.environ.get("SOAK_REQUESTS", 24))
 MAX_BATCH = int(os.environ.get("SOAK_BATCH", 8))
@@ -85,6 +92,10 @@ def main():
                        max_new_tokens=CHUNK)
     for _ in h.chunks():
         pass
+    # scheduler counters accumulated so far belong to the warmup request —
+    # exclude them so `served` matches `requests` in the record (ADVICE r3)
+    stats_before = {k: v for k, v in batcher.stats.items()
+                    if isinstance(v, (int, float))}
 
     results = []
     errors = []
@@ -152,8 +163,16 @@ def main():
         "ttfa_ms_max": round(ttfas[-1], 1),
         "per_step_ms_effective": round(wall / total_steps * 1000, 2),
         "first_chunks": list(RAMP),
-        "scheduler": {k: v for k, v in batcher.stats.items()
+        "scheduler": {k: (v - stats_before.get(k, 0)
+                          if isinstance(v, (int, float)) else v)
+                      for k, v in batcher.stats.items()
                       if k != "queue_depth"},
+        # how to regenerate this record (ADVICE r3: SOAK_TAG-overridden
+        # entries were not reproducible from the repo alone)
+        "invocation": invocation_record(
+            "MODEL_SIZE", "SOAK_REQUESTS", "SOAK_BATCH", "SOAK_KV_QUANT",
+            "SOAK_QUANT", "SOAK_SPREAD", "SOAK_RAMP", "SOAK_TAG",
+            "QWEN3TTS_BATCH_PIPELINE", "QWEN3TTS_BATCH_TRACE"),
     }
     tag = "serving_soak"
     if KV_QUANT:

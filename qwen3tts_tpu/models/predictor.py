@@ -240,9 +240,65 @@ def predict_frame(
 
     # embed_sum over the 15 predictor codebooks (talker space).  One-hot +
     # einsum rides the MXU and fuses the 15 gathers + sum into one contraction.
+    return tokens, embed_sum_for(params, cfg, tokens, dtype)
+
+
+def embed_sum_for(params: Params, cfg: PredictorConfig,
+                  tokens: jnp.ndarray, dtype) -> jnp.ndarray:
+    """Σ_i codec_embeddings[i][tokens_i] for a [B, 15] token frame — the
+    predictor's contribution to the next talker input (reference
+    generate.py:163-166)."""
     onehot = jax.nn.one_hot(tokens.T, cfg.codebook_size, dtype=dtype)  # [15, B, CB]
-    embed_sum = jnp.einsum(
+    return jnp.einsum(
         "ibc,ich->bh", onehot, params["codec_embeddings"],
         preferred_element_type=jnp.float32,
     ).astype(dtype)[:, None, :]  # [B, 1, Ht]
-    return tokens, embed_sum
+
+
+def predict_frame_teacher(
+    params: Params,
+    cfg: PredictorConfig,
+    pred_input: jnp.ndarray,  # [B, 2, H_talker] = cat(past_hidden, token0_embed)
+    teacher: jnp.ndarray,  # [B, 15] int32 — the forced codebook tokens 1..15
+) -> jnp.ndarray:
+    """Teacher-forced frame: run the 15-codebook micro-loop feeding the GIVEN
+    tokens instead of sampling, and return every head's raw logits
+    [B, 15, CB].  This is the measurement path for the quantization quality
+    gate (utils/quality.py): with identical token history, per-step logit
+    deltas between two models isolate quantization noise — free-running
+    comparison can't (one early argmax flip makes the rest of the sequence
+    incomparable).  Reference analog: committed parity samples + seeds
+    (samples/parity/README.md), made numeric here."""
+    B = pred_input.shape[0]
+    spec = block_spec(cfg)
+    S = cfg.max_seq
+    dtype = pred_input.dtype
+
+    kv = init_kv_cache(spec, B, S, dtype)
+    zero_pad = jnp.zeros((B,), jnp.int32)
+
+    h = _proj(params, pred_input)  # [B, 2, Hp]
+    cos, sin = _rope(cfg, jnp.broadcast_to(
+        jnp.arange(2, dtype=jnp.int32)[None], (B, 2)))
+    m = prefill_mask(2, 2, zero_pad, cfg.sliding_window)
+    h, kv = stack_forward(params["blocks"], h, cos, sin, kv, jnp.int32(0), m, spec)
+    h = rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
+    logits0 = _lm_logits(params, 0, h[:, -1, :])  # [B, CB]
+
+    def body(kv_c, cb):
+        tok_prev = teacher[:, cb - 1]
+        emb_t = params["codec_embeddings"][cb - 1][tok_prev]  # [B, Ht]
+        x = _proj(params, emb_t)[:, None, :]
+        pos = jnp.int32(1) + cb
+        cos_d, sin_d = _rope(cfg, jnp.broadcast_to(pos[None, None], (B, 1)))
+        m_d = decode_mask(S, pos, zero_pad, cfg.sliding_window)
+        x, kv_c = stack_forward(params["blocks"], x, cos_d, sin_d, kv_c,
+                                pos, m_d, spec)
+        x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+        return kv_c, _lm_logits(params, cb, x[:, -1, :])
+
+    _, logits_rest = jax.lax.scan(
+        body, kv, jnp.arange(1, cfg.num_codebooks, dtype=jnp.int32),
+    )  # [14, B, CB]
+    return jnp.concatenate(
+        [logits0[:, None], logits_rest.transpose(1, 0, 2)], axis=1)

@@ -606,9 +606,14 @@ class ContinuousBatcher:
                     row_full = np.tile(req.tpe[0], (tth_dev.shape[1], 1))
                     row_full[:L] = np.asarray(req.trailing[0], np.float32)
                     row_dev = jnp.asarray(row_full, eng.dtype)
-                tth_dev = tth_dev.at[b].set(row_dev)
+                # row index TRACED (jnp.int32): a Python int bakes the row
+                # into the program — 8 rows × 2 scatters = 16 executables,
+                # each a serve-time compile stall on its first use (measured
+                # 827 ms on the first mid-batch join group)
+                tth_dev = tth_dev.at[jnp.int32(b)].set(row_dev)
                 tpe[b] = req.tpe[0]
-                tpe_dev = tpe_dev.at[b].set(jnp.asarray(req.tpe[0], eng.dtype))
+                tpe_dev = tpe_dev.at[jnp.int32(b)].set(
+                    jnp.asarray(req.tpe[0], eng.dtype))
                 tth_lens[b] = L
                 # reset + prime the row's slice of the shared vocoder state
                 # (its first frames appear in the chunk dispatched below)
@@ -996,6 +1001,15 @@ class ContinuousBatcher:
         # joiner inside the warmed range is a row scatter, never a full
         # (B, W, H) re-upload mid-serve
         self._tth_floor = warm[-1]
+        # join-path row scatters at the serving tth width (traced row index —
+        # one executable each; without this the first mid-batch join pays
+        # the compile/cache-load stall while every live stream waits)
+        tth_w = jnp.zeros((self.B, self._tth_floor, H), eng.dtype)
+        jax.block_until_ready(
+            tth_w.at[jnp.int32(0)].set(jnp.zeros((self._tth_floor, H),
+                                                 eng.dtype)))
+        jax.block_until_ready(
+            tpe0.at[jnp.int32(0)].set(jnp.zeros((1, H), eng.dtype)))
         sizes = list(dict.fromkeys(list(self.first_chunks)
                                    + [self.chunk_size]))
         for tb in warm:

@@ -6,6 +6,7 @@ import pytest
 from qwen3tts_tpu import FasterQwen3TTS
 
 
+@pytest.mark.slow
 def test_voice_clone_nonstreaming(tiny_tts, ref_wav):
     audio_list, sr = tiny_tts.generate_voice_clone(
         "Hello world.", "English", ref_wav, "ref", max_new_tokens=12)
@@ -55,6 +56,7 @@ def test_speaker_embedding_extraction(tiny_tts, ref_wav):
     np.testing.assert_allclose(np.linalg.norm(emb), 1.0, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_custom_voice_guard_and_run(ref_wav):
     m = FasterQwen3TTS.from_pretrained("random:tiny-custom")
     with pytest.raises(ValueError):
@@ -64,6 +66,7 @@ def test_custom_voice_guard_and_run(ref_wav):
     assert len(audio_list[0]) % 2000 == 0
 
 
+@pytest.mark.slow
 def test_voice_design_guard_and_run():
     m = FasterQwen3TTS.from_pretrained("random:tiny-design")
     with pytest.raises(ValueError):

@@ -108,6 +108,7 @@ def test_fused_o_mlp_int8():
         atol=0.05, rtol=0.05)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("quantized", [False, True])
 def test_block_forward_fused_matches_plain(quantized):
     """Whole decoder block: fused Pallas path == XLA path (decode shape),

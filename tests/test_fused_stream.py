@@ -109,6 +109,7 @@ def test_fused_stream_kv_quant_engine(tiny_cfg, tiny_models, tiny_vocoder,
                                tiny_vocoder.decode(allf), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_codec_decode_stream_exact(tiny_cfg):
     """Direct decode_stream chaining == full decode, uneven chunks, nonzero
     biases (perturbed like tests/test_codec.py's pad guard)."""

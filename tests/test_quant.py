@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from qwen3tts_tpu.ops.quant import (
     dequant_matmul, is_quantized, maybe_matmul, quantize_bundle, quantize_tensor,
@@ -35,6 +36,7 @@ def test_maybe_matmul_passthrough():
     assert not is_quantized(w)
 
 
+@pytest.mark.slow
 def test_quantized_bundle_generates(tiny_cfg, ref_wav):
     from qwen3tts_tpu import FasterQwen3TTS
 
@@ -80,6 +82,7 @@ def test_w8a8_maybe_matmul_dispatch():
                                np.asarray(w8a8_matmul(x, qw)))
 
 
+@pytest.mark.slow
 def test_w8a8_bundle_generates(tiny_cfg, ref_wav):
     from qwen3tts_tpu import FasterQwen3TTS
 
@@ -94,6 +97,7 @@ def test_w8a8_bundle_generates(tiny_cfg, ref_wav):
     assert np.isfinite(audio_list[0]).all()
 
 
+@pytest.mark.slow
 def test_selective_predictor_quant(tiny_cfg, ref_wav):
     """quantize="int8-predictor" quantizes ONLY the predictor stack: the
     talker (codebook-0 semantics) stays full precision, and generation
@@ -128,6 +132,7 @@ def test_selective_talker_quant_leaves_predictor(tiny_cfg):
     assert not is_quantized(out["predictor"]["lm_heads"])
 
 
+@pytest.mark.slow
 def test_int8_plus_kv_quant_streams(tiny_cfg, ref_wav):
     """Full API with BOTH int8 weights and the int8 KV cache: non-streaming
     and fused-streaming generation produce finite, frame-aligned audio

@@ -33,6 +33,7 @@ def _collect(handle):
     return np.concatenate(chunks) if chunks else np.zeros(0, np.float32)
 
 
+@pytest.mark.slow
 def test_replica_weights_live_on_their_devices(pool):
     assert len(pool.models) == 2
     for m, dev in zip(pool.models, pool.devices):
@@ -66,6 +67,7 @@ def test_requests_spread_and_complete(pool, tiny_tts, ref_wav):
     assert all(r["inflight"] == 0 for r in st["replicas"])
 
 
+@pytest.mark.slow
 def test_identical_requests_give_identical_audio_across_replicas(
         pool, tiny_tts, ref_wav):
     # greedy + identical weights ⇒ the same request is bit-identical on
@@ -98,6 +100,7 @@ def _kill(pool, i, ref_wav):
     assert not b.alive
 
 
+@pytest.mark.slow
 def test_dead_replica_is_routed_around(pool, tiny_tts, ref_wav):
     _kill(pool, 0, ref_wav)
     # dead batcher fails fast on direct submit
@@ -115,6 +118,7 @@ def test_dead_replica_is_routed_around(pool, tiny_tts, ref_wav):
     assert flags == [False, True]
 
 
+@pytest.mark.slow
 def test_all_replicas_dead_raises(pool, ref_wav):
     _kill(pool, 1, ref_wav)
     with pytest.raises(RuntimeError, match="all 2 replicas are dead"):

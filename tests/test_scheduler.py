@@ -175,6 +175,7 @@ def test_join_during_final_chunk(tiny_tts, ref_wav):
         b.close()
 
 
+@pytest.mark.slow
 def test_eight_concurrent_mixed_lengths(tiny_tts, ref_wav):
     """8 concurrent requests with mixed text/budget lengths through a 4-row
     batch: every stream completes with exactly its own budget of audio."""
@@ -213,6 +214,7 @@ def test_eight_concurrent_mixed_lengths(tiny_tts, ref_wav):
         b.close()
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("depth", [1, 4])
 def test_pipeline_depth_invariants(tiny_tts, ref_wav, monkeypatch, depth):
     """The deep-pipelined serving loop (joins/forces applied at the pipeline
@@ -328,6 +330,7 @@ def test_worker_failure_fails_live_streams_not_hangs(tiny_tts, ref_wav,
         b.close()
 
 
+@pytest.mark.slow
 def test_randomized_stress_mixed_cancels_and_budgets(tiny_tts, ref_wav,
                                                      monkeypatch):
     """Seeded concurrency fuzz over the full serving surface: staggered
@@ -471,6 +474,7 @@ def test_unwarmed_bucket_warns(tiny_tts, ref_wav, caplog):
         b.close()
 
 
+@pytest.mark.slow
 def test_unwarmed_join_bucket_compiles_off_thread(tiny_tts, ref_wav,
                                                   monkeypatch):
     """A mid-batch admission whose prompt bucket has no join executable yet
@@ -646,6 +650,7 @@ def test_arriving_hint_holds_batch_start_for_preparing_flood(tiny_tts):
     assert len(b._waiting) == 2
 
 
+@pytest.mark.slow
 def test_predictive_budget_retirement_frees_slot_early(tiny_tts, ref_wav):
     """A row whose budget is exhausted by an in-flight chunk is retired at
     DISPATCH time (the fetch can only confirm it), so its replacement joins
@@ -719,6 +724,7 @@ def test_post_join_ramp_skips_saturated_joiners(tiny_tts):
     assert not b._ramp_after_join([fresh])  # no ramp configured at all
 
 
+@pytest.mark.slow
 def test_long_head_does_not_delay_short_joiner_end_to_end(tiny_tts, ref_wav):
     """Integration: with the only free row gated, a short request submitted
     AFTER a long-prompt request still starts first (out-of-order admission),

@@ -40,6 +40,7 @@ def test_health(oai_server):
     assert body["default_voice"] == "default"
 
 
+@pytest.mark.slow
 def test_speech_wav_streaming(oai_server):
     with _post(oai_server + "/v1/audio/speech",
                {"input": "Hello.", "response_format": "wav"}) as r:
@@ -50,6 +51,7 @@ def test_speech_wav_streaming(oai_server):
     assert len(pcm) > 0 and len(pcm) % 2000 == 0  # whole codec frames
 
 
+@pytest.mark.slow
 def test_speech_pcm(oai_server):
     with _post(oai_server + "/v1/audio/speech",
                {"input": "Hi.", "response_format": "pcm"}) as r:
@@ -73,6 +75,7 @@ def test_speech_errors(oai_server):
     assert e.value.code == 400  # too long
 
 
+@pytest.mark.slow
 def test_speech_mp3_streaming(oai_server):
     from qwen3tts_tpu.audio import mp3
 
@@ -113,6 +116,7 @@ def oai_server_batched(tiny_tts, tmp_path_factory):
     httpd.tts_state.batcher.close()
 
 
+@pytest.mark.slow
 def test_concurrent_requests_share_batched_engine(oai_server_batched):
     url, state = oai_server_batched
     results = {}
@@ -166,6 +170,7 @@ def oai_server_replicas(tiny_tts, tmp_path_factory):
     httpd.tts_state.batcher.close()
 
 
+@pytest.mark.slow
 def test_concurrent_requests_spread_over_replicas(oai_server_replicas):
     url, state = oai_server_replicas
     results = {}
@@ -271,6 +276,7 @@ def test_demo_index_and_status(demo_server):
     assert "speakers" in st and st["queue_depth"] == 0
 
 
+@pytest.mark.slow
 def test_demo_generate_stream_sse(demo_server, ref_wav):
     import base64
 
@@ -312,6 +318,7 @@ def test_demo_model_cache_lru(demo_server):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_cli_clone_and_list_speakers(tmp_path, ref_wav, capsys):
     from qwen3tts_tpu.apps.cli import main
 

@@ -40,6 +40,7 @@ def test_param_sharding_placement(shardable_cfg):
     assert shard_shapes == {(L, H, QD // 4)}
 
 
+@pytest.mark.slow
 def test_sharded_train_step_decreases_loss(shardable_cfg):
     mesh = make_mesh(8, dp=2, tp=4)
     cfg = shardable_cfg
@@ -88,6 +89,7 @@ def test_kv_quant_cache_composes_with_tp():
     np.testing.assert_array_equal(sharded, single)
 
 
+@pytest.mark.slow
 def test_sharded_batched_serving_parity():
     """Continuous-batching's engine path under dp=2×tp=4: stacked 3-row
     prefill, fused decode chunks, a mid-batch join_row splice into the
@@ -102,6 +104,7 @@ def test_sharded_batched_serving_parity():
     np.testing.assert_array_equal(sharded, single)
 
 
+@pytest.mark.slow
 def test_flagship_geometry_tp_parity():
     """The REAL 0.6B preset (28 layers, hidden 1024, GQA 16/8) through the
     Engine under tp=4 with the int8 KV cache: greedy token parity vs the
@@ -120,6 +123,7 @@ def test_flagship_geometry_tp_parity():
     np.testing.assert_array_equal(sharded, single)
 
 
+@pytest.mark.slow
 def test_dryrun_entrypoint():
     import __graft_entry__ as g
 

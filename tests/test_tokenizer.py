@@ -63,6 +63,7 @@ def test_unknown_words_map_to_unk_not_crash(tok_json):
     assert ids == [0]
 
 
+@pytest.mark.slow
 def test_from_pretrained_threads_tokenizer_json(tmp_path, tok_json, caplog):
     """A checkpoint dir WITH tokenizer.json gets the HF tokenizer; one
     without warns loudly and falls back (ADVICE r1 medium)."""

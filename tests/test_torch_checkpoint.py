@@ -66,6 +66,7 @@ def test_torch_load_equals_canonical_load(bundles):
     _flat_allclose(a, b)
 
 
+@pytest.mark.slow
 def test_from_pretrained_torch_dir_generates_same_tokens(bundles, ref_wav):
     """Full loop: from_pretrained on the torch dir → generate → audio equal
     to the canonical-format load of the same weights (VERDICT r1 item 1)."""
