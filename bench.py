@@ -128,7 +128,13 @@ def main():
         "rtf_e2e_streaming": round(rtf_stream_e2e, 3),
         "ttfa_ms_chunk8": round(ttfa_ms, 1),
         "ttfa_ms_rampup_2_4": round(ttfa_ramp, 1) if ttfa_ramp else None,
+        # prefill_ms is WARM: measured after the warmup generation compiled
+        # the prefill executable, so it is pure device+dispatch time.  Runs
+        # sharing a persistent XLA cache can differ 1.6 vs 7.8 ms depending
+        # on whether this process or an earlier one paid the cache load
+        # (ADVICE r3) — compare only within one artifact's run.
         "prefill_ms": round(prefill_ms, 1),
+        "prefill_methodology": "warm (post-warmup, in-process)",
         "ms_per_step_nonstreaming": round(min(ms_steps), 2),
         "steps": STEPS,
         "baseline": {"rtf_h100_cuda_graphs": BASELINE_RTF_H100,

@@ -292,7 +292,12 @@ class FasterQwen3TTS:
             instruct_ids=instruct_ids,
         )
         if device:
-            embeds, trailing, tpe = self._to_device(embeds, trailing, tpe)
+            # embeds stay HOST numpy even on the device path: engine.prefill
+            # left-pads them to the bucket host-side before the cast+upload
+            # (a device-resident prompt forces a per-(T, bucket) pad-concat
+            # program — 150-400 ms compile on first use of each length)
+            trailing, tpe = self._to_device(trailing, tpe)
+            embeds = np.asarray(embeds, np.float32)
         # device=False callers (the continuous batcher) keep the host numpy
         # arrays: stacking/joining re-uploads anyway, and a device round
         # trip per submit costs ~100-200 ms on a tunneled runtime
@@ -438,7 +443,11 @@ class FasterQwen3TTS:
                 for t in texts]
         ref_codes = rows[0][3]
         H = self.cfg.talker.hidden_size
-        T = max(r[0].shape[1] for r in rows)
+        # stack straight at the bucket width: engine.prefill then never pads
+        # device-side (the pad concat is a per-(T, bucket) program that
+        # compiles at first use of each length — see Engine.prefill)
+        from ..runtime.engine import bucket_for as _bucket
+        T = _bucket(max(r[0].shape[1] for r in rows))
         Tt = max(max(r[1].shape[1] for r in rows), 1)
         embeds = np.zeros((B, T, H), np.float32)
         trailing = np.zeros((B, Tt, H), np.float32)
@@ -453,7 +462,8 @@ class FasterQwen3TTS:
             trailing[b, t.shape[1]:] = p[0]  # pad rows with tts_pad embed
             tth_lens[b] = t.shape[1]
             tpe[b] = p[0]
-        embeds_d, trailing_d, tpe_d = self._to_device(embeds, trailing, tpe)
+        trailing_d, tpe_d = self._to_device(trailing, tpe)
+        embeds_d = embeds  # host: engine.prefill pads+casts
         pol, ppol = self._policies(temperature, top_k, top_p, do_sample,
                                    repetition_penalty, min_new_tokens)
         eng = self._batch_engine(B)

@@ -356,20 +356,23 @@ def resolve_asr(spec: Optional[str]):
     demo/server.py:44,225-248).  Accepted specs:
 
       - ``builtin`` / ``builtin:<model-ref>`` (DEFAULT) — the first-party
-        CTC recognizer (models/asr.py); functions end-to-end today (random
-        weights → garbage-but-working text) and becomes real transcription
-        when a trained checkpoint dir is given as ``<model-ref>``;
+        CTC recognizer (models/asr.py).  Bare ``builtin`` loads the
+        committed self-trained checkpoint (tools/train_asr.py — real
+        transcripts for audio from this TTS family) when present, random
+        init otherwise; a trained checkpoint dir as ``<model-ref>``
+        overrides;
       - ``none`` — disable; /transcribe returns 501;
       - ``module:callable`` — any external hook ``(audio_f32, sr) -> str``.
     """
     if not spec or spec == "none":
         return None
     if spec == "builtin" or spec.startswith("builtin:"):
-        from ..models.asr import builtin_asr
+        from ..models.asr import builtin_asr, default_checkpoint
 
         _, _, ref = spec.partition(":")
-        hook = builtin_asr(ref or "random:ctc-base")
-        logger.info("builtin CTC ASR registered (%s)", ref or "random:ctc-base")
+        hook = builtin_asr(ref or None)
+        logger.info("builtin CTC ASR registered (%s)",
+                    ref or default_checkpoint())
         return hook
     import importlib
 

@@ -24,7 +24,7 @@ import dataclasses
 import functools
 import json
 from pathlib import Path
-from typing import Dict
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -111,6 +111,21 @@ def forward(params: Dict, cfg: ASRConfig, mel: jnp.ndarray) -> jnp.ndarray:
     return x @ params["head"]["w"] + params["head"]["b"]
 
 
+def cer(ref: str, hyp: str) -> float:
+    """Character error rate: edit distance / len(ref) (standard ASR metric;
+    the self-training gate asserts it on held-out in-domain samples)."""
+    if not ref:
+        return float(len(hyp) > 0)
+    prev = list(range(len(hyp) + 1))
+    for i, rc in enumerate(ref, 1):
+        cur = [i] + [0] * len(hyp)
+        for j, hc in enumerate(hyp, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (rc != hc))
+        prev = cur
+    return prev[-1] / len(ref)
+
+
 def greedy_ctc_decode(token_ids: np.ndarray) -> str:
     """Frame-wise argmax ids → text: collapse repeats, drop blanks."""
     out = []
@@ -185,13 +200,26 @@ class CTCRecognizer:
                         self.cfg.sample_rate)
 
 
-def builtin_asr(ref: str = "random:ctc-base", warmup: bool = True):
+def default_checkpoint() -> str:
+    """The committed self-trained checkpoint (tools/train_asr.py) when
+    present, else random init.  The self-trained weights transcribe audio
+    from this framework's own TTS family (eval CER asserted in
+    tests/test_asr.py); real human speech still needs a converted real
+    checkpoint (RUNBOOK.md)."""
+    ckpt = Path(__file__).resolve().parents[2] / "samples/asr/ctc_selftrained"
+    if (ckpt / "model.safetensors").exists():
+        return str(ckpt)
+    return "random:ctc-base"
+
+
+def builtin_asr(ref: Optional[str] = None, warmup: bool = True):
     """Demo-server hook factory: returns (audio, sr) -> str.
 
-    ``warmup`` pre-compiles the jitted forward so the first /transcribe
-    click doesn't stall on XLA compilation (reference warms nano-parakeet
-    at startup, demo/server.py:44,244-247)."""
-    rec = CTCRecognizer.from_pretrained(ref)
+    ``ref=None`` resolves via ``default_checkpoint()`` — the committed
+    self-trained weights when present.  ``warmup`` pre-compiles the jitted
+    forward so the first /transcribe click doesn't stall on XLA compilation
+    (reference warms nano-parakeet at startup, demo/server.py:44,244-247)."""
+    rec = CTCRecognizer.from_pretrained(ref or default_checkpoint())
     if warmup:
         rec.warmup()
     return rec.transcribe

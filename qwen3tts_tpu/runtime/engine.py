@@ -284,7 +284,19 @@ class Engine:
         if Tb > self.max_seq_len:
             raise ValueError(f"prefill bucket {Tb} exceeds max_seq_len {self.max_seq_len}")
         extra = Tb - T
-        if extra:
+        if isinstance(embeds, np.ndarray):
+            # pad on HOST: the device-side concat is a distinct program per
+            # (T, bucket) pair — on a remote-compile TPU each first use costs
+            # a few hundred ms (measured 325-380 ms of serve-time batch-setup
+            # stall per new prompt length)
+            if extra:
+                embeds = np.concatenate(
+                    [np.zeros((B, extra, H), np.float32),
+                     np.asarray(embeds, np.float32)], axis=1)
+            from ..ops.initrand import fast_astype
+            embeds = jnp.asarray(fast_astype(np.ascontiguousarray(embeds),
+                                             self.dtype))
+        elif extra:
             embeds = jnp.concatenate(
                 [jnp.zeros((B, extra, H), embeds.dtype), embeds], axis=1
             )
@@ -659,25 +671,45 @@ class Engine:
         pred_policy: SamplingPolicy = SamplingPolicy(),
         knobs: Optional[jnp.ndarray] = None,
         pos_hint: Optional[int] = None,
+        pad_inner: Optional[int] = None,
     ) -> Dict:
         """Admit a request into ``row`` of a running batch (donates ``state``).
 
         Caller must ensure the shared position is at least the prompt's
         bucket length (``pos_hint`` — host-tracked position — is validated
         when given).  Compiles once per prefill bucket.
+
+        ``pad_inner``: pass when ``embeds`` is ALREADY left-padded to its
+        bucket (the continuous batcher pads on host at admission time — the
+        device-side pad concat here is a distinct program per (T, bucket)
+        pair, and on a remote-compile TPU its serve-time first use stalled
+        every live stream 150-415 ms per new prompt length).
         """
         self._ensure_join_jit()
         B, T, H = embeds.shape
         assert B == 1, "join_row admits one request at a time"
-        Tb = bucket_for(T)
+        if pad_inner is None:
+            Tb = bucket_for(T)
+            extra = Tb - T
+            if isinstance(embeds, np.ndarray):
+                if extra:
+                    embeds = np.concatenate(
+                        [np.zeros((1, extra, H), np.float32),
+                         np.asarray(embeds, np.float32)], axis=1)
+                embeds = jnp.asarray(embeds, self.dtype)
+            elif extra:
+                embeds = jnp.concatenate(
+                    [jnp.zeros((1, extra, H), embeds.dtype), embeds], axis=1)
+        else:
+            Tb, extra = T, pad_inner
+            if Tb not in PREFILL_BUCKETS:
+                raise ValueError(
+                    f"pre-padded join embeds length {Tb} is not a prefill "
+                    f"bucket {PREFILL_BUCKETS}")
         if pos_hint is not None and Tb > pos_hint:
             raise ValueError(
                 f"cannot join: prompt bucket {Tb} exceeds current batch "
                 f"position {pos_hint} (row would underflow the cache)")
-        extra = Tb - T
-        if extra:
-            embeds = jnp.concatenate(
-                [jnp.zeros((1, extra, H), embeds.dtype), embeds], axis=1)
         if knobs is None:
             knobs = make_knobs(policy, pred_policy)
         return self._join_jit(

@@ -116,8 +116,12 @@ class _Request:
     planned: int = 0
     retiring: bool = False
     # admission-time async uploads (overlap host->device transfer with the
-    # running batch instead of paying it inside the tail join)
+    # running batch instead of paying it inside the tail join).  embeds_dev
+    # is pre-padded on HOST to its prefill bucket (join_pad = inner left
+    # pad): the device-side pad concat is a per-(T, bucket) program whose
+    # serve-time first compile stalled every live stream 150-415 ms.
     embeds_dev: Optional[object] = None
+    join_pad: int = 0
     tth_row_dev: Optional[object] = None
 
 
@@ -412,26 +416,29 @@ class ContinuousBatcher:
         self._stats["batches"] += 1
         t_batch0 = time.time()
 
-        # --- stacked initial prefill: rows left-padded to the common length
-        #     with true per-row pad counts (masks + RoPE need them); rows
-        #     beyond the initial set are zero prompts, marked done right after
+        # --- stacked initial prefill: rows left-padded ON HOST straight to
+        #     the bucket width with true per-row pad counts (masks + RoPE
+        #     need them); rows beyond the initial set are zero prompts,
+        #     marked done right after.  Building at the bucket (not the true
+        #     max length) means engine.prefill never pads device-side — the
+        #     pad concat was a per-(T, bucket) program compiling at serve
+        #     time (325-380 ms of batch-setup stall per new length).
         T = max(r.embeds.shape[1] for r in initial)
         Tb = bucket_for(T)
         self._check_warmed(Tb)
-        embeds = np.zeros((B, T, H), np.float32)
-        pads = np.full((B,), T, np.int32)  # unused rows: fully padded
+        embeds = np.zeros((B, Tb, H), np.float32)
+        pads = np.full((B,), Tb, np.int32)  # unused rows: fully padded
         for i, req in enumerate(initial):
             L = req.embeds.shape[1]
-            pads[i] = T - L
-            embeds[i, T - L:] = req.embeds[0]
+            pads[i] = Tb - L
+            embeds[i, Tb - L:] = req.embeds[0]
         t_embeds = time.time()
         state = eng.prefill(
-            jnp.asarray(embeds, eng.dtype), self.model._next_key(), self.policy,
+            embeds, self.model._next_key(), self.policy,
             pad_count=pads, knobs=self.knobs,
         )
         t_prefill = time.time()
-        total_pads = pads + (Tb - T)
-        pos = Tb - int(total_pads.min())  # prefill compacts by min(pad)
+        pos = Tb - int(pads.min())  # prefill compacts by min(pad)
         if len(initial) < B:
             mask = np.zeros((B,), bool)
             mask[len(initial):] = True
@@ -578,13 +585,20 @@ class ContinuousBatcher:
                 t_j0 = time.time()
                 # no _check_warmed here: admission already gated on
                 # _bucket_join_ready, so the executable exists by now
-                embeds_dev = req.embeds_dev if req.embeds_dev is not None \
-                    else jnp.asarray(req.embeds, eng.dtype)
+                if req.embeds_dev is not None:
+                    embeds_dev, pad_inner = req.embeds_dev, req.join_pad
+                else:  # fallback: host-pad now (never a device concat)
+                    Lp = req.embeds.shape[1]
+                    pad_inner = bucket_for(Lp) - Lp
+                    padded = np.concatenate(
+                        [np.zeros((1, pad_inner, H), np.float32),
+                         req.embeds], axis=1) if pad_inner else req.embeds
+                    embeds_dev = jnp.asarray(padded, eng.dtype)
                 req.embeds_dev = None
                 cur_state = eng.join_row(
                     cur_state, b, embeds_dev,
                     policy=self.policy, pred_policy=self.pred_policy,
-                    knobs=self.knobs, pos_hint=pos_lb,
+                    knobs=self.knobs, pos_hint=pos_lb, pad_inner=pad_inner,
                 )
                 t_j1 = time.time()
                 L = req.trailing.shape[1]
@@ -721,8 +735,14 @@ class ContinuousBatcher:
                 # start the joiner's host->device uploads NOW (async): by the
                 # time the join runs at the tail next iteration the transfers
                 # have ridden the wire behind the running chunks instead of
-                # blocking the worker inside the join
-                req.embeds_dev = jnp.asarray(req.embeds, eng.dtype)
+                # blocking the worker inside the join.  Pad to the bucket on
+                # host so join_row never compiles a per-length pad concat.
+                Lp = req.embeds.shape[1]
+                req.join_pad = bucket_for(Lp) - Lp
+                padded = np.concatenate(
+                    [np.zeros((1, req.join_pad, H), np.float32), req.embeds],
+                    axis=1) if req.join_pad else req.embeds
+                req.embeds_dev = jnp.asarray(padded, eng.dtype)
                 L = req.trailing.shape[1]
                 if L <= tth_dev.shape[1]:
                     row_full = np.tile(req.tpe[0], (tth_dev.shape[1], 1))

@@ -1,0 +1,264 @@
+"""Self-training loop for the CTC ASR on this framework's own TTS output.
+
+The reference demo transcribes with a real nano-parakeet checkpoint
+(reference demo/server.py:225-248); this zero-egress image has no ASR
+weights, so the recognizer (models/asr.py) ships functional-but-garbage on
+random init.  This script closes the loop (VERDICT r3 item 5) with the only
+supervised dataset constructible in-repo: the framework's OWN synthesized
+speech.  Greedy decoding makes audio a deterministic function of text, and
+the talker consumes one trailing text-hidden per 12 Hz frame, so the audio
+is locally aligned with the text — a CTC conv net can invert it.
+
+    text (fixed lexicon) --TTS (random:tiny, greedy, fixed seeds)--> wav
+    wav --log-mel--> CTC training pair (mel, chars)
+
+Outputs (committed):
+    samples/asr/ctc_selftrained/          the trained checkpoint
+    samples/asr/eval/NN.wav + manifest.json   held-out in-domain samples
+    samples/asr/metrics.json              train/eval CER
+
+The held-out samples are unseen SENTENCES over the training lexicon
+(in-domain generalization, not memorization).  tests/test_asr.py asserts
+CER < 0.3 on them with the committed weights.  Transcripts are only
+meaningful for audio from the same TTS family; real human speech still
+needs a converted real checkpoint (RUNBOOK.md).
+
+Run:  python tools/train_asr.py            (CPU, ~minutes, deterministic)
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import jax
+
+jax.config.update("jax_num_cpu_devices", 1)
+jax.config.update("jax_platforms", "cpu")  # deterministic + fast tiny compiles
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+import optax  # noqa: E402
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from qwen3tts_tpu.models import asr as asr_lib  # noqa: E402
+from qwen3tts_tpu.models.asr import (  # noqa: E402
+    ASRConfig, CTCRecognizer, VOCAB, _CHAR_TO_ID, cer, init_params)
+from qwen3tts_tpu.models.speaker import log_mel  # noqa: E402
+
+# fixed lexicon: common short words; sentences are random draws, train and
+# eval sentence SETS are disjoint (eval tests in-domain generalization)
+LEXICON = (
+    "the a of to and in is it you that he was for on are with as his they be "
+    "at one have this from or had by hot word but what some we can out other "
+    "were all there when up use your how said an each she which do their time "
+    "if will way about many then them write would like so these her long make "
+    "thing see him two has look more day could go come did number sound no "
+    "most people my over know water than call first who may down side been "
+    "now find any new work part take get place made live where after back "
+    "little only round man year came show every good me give our under name"
+).split()
+
+
+def make_texts(n: int, seed: int, min_words=3, max_words=6):
+    rs = np.random.RandomState(seed)
+    out = []
+    seen = set()
+    while len(out) < n:
+        k = rs.randint(min_words, max_words + 1)
+        t = " ".join(LEXICON[i] for i in rs.randint(0, len(LEXICON), k))
+        if t not in seen:
+            seen.add(t)
+            out.append(t)
+    return out
+
+
+def synthesize(model, texts, ref_wav, batch=8):
+    """Greedy, fixed-length TTS for every text.  Returns list of (wav f32
+    @24k).  min==max new tokens: the trailing text is consumed one token per
+    frame, so chars + margin frames covers the whole sentence."""
+    wavs = []
+    t0 = time.time()
+    for i in range(0, len(texts), batch):
+        chunk = texts[i:i + batch]
+        steps = max(len(t) for t in chunk) + 16
+        got, _sr = model.generate_voice_clone_batch(
+            chunk, "English", ref_wav, "reference",
+            max_new_tokens=steps, min_new_tokens=steps, do_sample=False)
+        wavs.extend(got)
+        print(f"  synth {i + len(chunk)}/{len(texts)} "
+              f"({time.time() - t0:.0f}s)", file=sys.stderr)
+    return wavs
+
+
+def featurize(wavs, texts, cfg: ASRConfig, mel_T: int, lab_L: int):
+    """(mel [N,mel_T,80], mel_lens, labels [N,lab_L], lab_lens)."""
+    N = len(wavs)
+    mels = np.full((N, mel_T, cfg.n_mels), asr_lib._LOG_MEL_PAD, np.float32)
+    mel_lens = np.zeros((N,), np.int32)
+    labels = np.zeros((N, lab_L), np.int32)
+    lab_lens = np.zeros((N,), np.int32)
+    for i, (w, t) in enumerate(zip(wavs, texts)):
+        w16 = asr_lib._resample(np.asarray(w, np.float32), 24_000,
+                                cfg.sample_rate)
+        m = np.asarray(log_mel(jnp.asarray(w16), cfg.n_mels, cfg.sample_rate))
+        L = min(len(m), mel_T)
+        mels[i, :L] = m[:L]
+        mel_lens[i] = L
+        ids = [_CHAR_TO_ID[c] for c in t if c in _CHAR_TO_ID]
+        assert len(ids) <= lab_L, (len(ids), lab_L)
+        labels[i, :len(ids)] = ids
+        lab_lens[i] = len(ids)
+    return mels, mel_lens, labels, lab_lens
+
+
+def train(cfg: ASRConfig, data, *, lr=3e-4, epochs=60, batch=32, seed=0):
+    mels, mel_lens, labels, lab_lens = data
+    N = len(mels)
+    params = init_params(jax.random.PRNGKey(seed), cfg)
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(lr))
+    opt = tx.init(params)
+
+    def loss_fn(p, mel, mel_len, lab, lab_len):
+        logits = jax.vmap(
+            lambda m: asr_lib.forward(p, cfg, m))(mel)  # [B, T/4, V]
+        Tl = logits.shape[1]
+        frames = jnp.arange(Tl)[None, :]
+        logit_pad = (frames >= jnp.ceil(mel_len / 4)[:, None]).astype(
+            jnp.float32)
+        lab_pad = (jnp.arange(lab.shape[1])[None, :]
+                   >= lab_len[:, None]).astype(jnp.float32)
+        per = optax.ctc_loss(logits, logit_pad, lab, lab_pad)
+        return jnp.mean(per / jnp.maximum(lab_len, 1))
+
+    @jax.jit
+    def step(p, o, mel, mel_len, lab, lab_len):
+        loss, g = jax.value_and_grad(loss_fn)(p, mel, mel_len, lab, lab_len)
+        up, o = tx.update(g, o, p)
+        return optax.apply_updates(p, up), o, loss
+
+    rs = np.random.RandomState(seed + 1)
+    t0 = time.time()
+    for ep in range(epochs):
+        order = rs.permutation(N)
+        tot, nb = 0.0, 0
+        for i in range(0, N - batch + 1, batch):
+            idx = order[i:i + batch]
+            params, opt, loss = step(
+                params, opt, mels[idx], mel_lens[idx], labels[idx],
+                lab_lens[idx])
+            tot += float(loss)
+            nb += 1
+        if ep % 5 == 0 or ep == epochs - 1:
+            print(f"  epoch {ep:3d} loss {tot / max(nb, 1):.4f} "
+                  f"({time.time() - t0:.0f}s)", file=sys.stderr)
+    return params
+
+
+def eval_cer(rec: CTCRecognizer, wavs, texts, sr=24_000):
+    scores, hyps = [], []
+    for w, t in zip(wavs, texts):
+        hyp = rec.transcribe(np.asarray(w, np.float32), sr)
+        scores.append(cer(t, hyp))
+        hyps.append(hyp)
+    return float(np.mean(scores)), hyps
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="random:tiny")
+    ap.add_argument("--n-train", type=int, default=320)
+    ap.add_argument("--n-eval", type=int, default=16)
+    ap.add_argument("--epochs", type=int, default=60)
+    ap.add_argument("--channels", type=int, default=96)
+    ap.add_argument("--layers", type=int, default=3)
+    ap.add_argument("--out", default="samples/asr")
+    ap.add_argument("--cache", default=None,
+                    help="npz path: reuse synthesized wavs across runs "
+                         "(synthesis dominates wall time when iterating on "
+                         "the recognizer)")
+    args = ap.parse_args()
+
+    root = Path(__file__).resolve().parent.parent
+    out = root / args.out
+    (out / "eval").mkdir(parents=True, exist_ok=True)
+
+    from qwen3tts_tpu import FasterQwen3TTS
+    from qwen3tts_tpu.audio.wav import write_wav
+
+    # fixed synthetic reference voice (same recipe as benchmarks/common.py)
+    t = np.linspace(0, 3.0, 72_000, dtype=np.float32)
+    ref = (0.25 * np.sin(2 * np.pi * 180 * t)
+           * (0.6 + 0.4 * np.sin(2 * np.pi * 2.5 * t))).astype(np.float32)
+    ref_wav = str(out / "ref.wav")
+    write_wav(ref_wav, ref, 24_000)
+
+    train_texts = make_texts(args.n_train, seed=11)
+    eval_texts = [t for t in make_texts(args.n_eval * 4, seed=97)
+                  if t not in set(train_texts)][: args.n_eval]
+
+    cache = Path(args.cache) if args.cache else None
+    if cache and cache.exists():
+        z = np.load(cache, allow_pickle=True)
+        assert list(z["train_texts"]) == train_texts
+        assert list(z["eval_texts"]) == eval_texts
+        train_wavs = list(z["train_wavs"])
+        eval_wavs = list(z["eval_wavs"])
+        print(f"loaded {len(train_wavs)}+{len(eval_wavs)} wavs from "
+              f"{cache}", file=sys.stderr)
+    else:
+        model = FasterQwen3TTS.from_pretrained(args.model, dtype="fp32")
+        print(f"synthesizing {len(train_texts)} train utterances",
+              file=sys.stderr)
+        train_wavs = synthesize(model, train_texts, ref_wav)
+        print(f"synthesizing {len(eval_texts)} eval utterances",
+              file=sys.stderr)
+        eval_wavs = synthesize(model, eval_texts, ref_wav)
+        if cache:
+            np.savez_compressed(
+                cache,
+                train_wavs=np.asarray(train_wavs, object),
+                eval_wavs=np.asarray(eval_wavs, object),
+                train_texts=np.asarray(train_texts, object),
+                eval_texts=np.asarray(eval_texts, object))
+
+    cfg = ASRConfig(channels=args.channels, num_layers=args.layers)
+    max_chars = max(len(t) for t in train_texts + eval_texts)
+    # mel frames per TTS frame: 2000 samples @24k -> 1333 @16k -> ~8.3 mels
+    mel_T = int(np.ceil((max_chars + 16) * 8.5 / 64.0)) * 64
+    data = featurize(train_wavs, train_texts, cfg, mel_T, max_chars + 2)
+
+    print(f"training ctc ({args.channels}ch x {args.layers}L, mel_T={mel_T})",
+          file=sys.stderr)
+    params = train(cfg, data, epochs=args.epochs)
+    rec = CTCRecognizer(cfg, params)
+
+    train_cer, _ = eval_cer(rec, train_wavs[:32], train_texts[:32])
+    ev_cer, hyps = eval_cer(rec, eval_wavs, eval_texts)
+    print(f"train CER (32 sample) {train_cer:.3f}  eval CER {ev_cer:.3f}",
+          file=sys.stderr)
+    for txt, hyp in list(zip(eval_texts, hyps))[:6]:
+        print(f"  ref: {txt}\n  hyp: {hyp}", file=sys.stderr)
+
+    rec.save_pretrained(out / "ctc_selftrained")
+    manifest = []
+    for i, (w, txt) in enumerate(zip(eval_wavs, eval_texts)):
+        name = f"eval/{i:02d}.wav"
+        write_wav(str(out / name), np.asarray(w, np.float32), 24_000)
+        manifest.append({"wav": name, "text": txt})
+    (out / "manifest.json").write_text(json.dumps(manifest, indent=1) + "\n")
+    (out / "metrics.json").write_text(json.dumps({
+        "train_cer_32": round(train_cer, 4),
+        "eval_cer": round(ev_cer, 4),
+        "n_train": len(train_texts), "n_eval": len(eval_texts),
+        "tts_model": args.model, "channels": args.channels,
+        "layers": args.layers, "epochs": args.epochs,
+    }, indent=1) + "\n")
+    print(json.dumps({"eval_cer": round(ev_cer, 4)}))
+
+
+if __name__ == "__main__":
+    main()
