@@ -343,6 +343,93 @@ def sharded_flagship_check(
     return sharded, single
 
 
+def sharded_flagship_structural_check(
+    mesh: Mesh,
+    steps: int = 6,
+    *,
+    preset: str = "qwen3-tts-0.6b",
+    kv_quant: bool = True,
+    max_seq_len: int = 64,
+) -> Dict[str, float]:
+    """bf16 flagship TP: the Layer-2 *structural* analog (VERDICT r3 item 7).
+
+    ``sharded_flagship_check`` certifies the sharding LAYOUT with fp32
+    token-exactness; this certifies the PRODUCTION dtype.  In bf16 the
+    row-parallel psum's different reduction order may legitimately flip a
+    razor-thin argmax (so token equality is the wrong claim — the
+    reference's own exact-vs-structural split, tests/test_e2e_parity.py:
+    411-425 fp32-exact layer vs :583-911 bf16 structural layer), but it
+    must NOT move the logit surface: asserts
+
+      * a bf16 tp-sharded flagship generation yields structurally valid
+        frames — in-range codebook ids, suppressed zone never sampled, no
+        EOS leak into emitted frames;
+      * prompt logits of the bf16 TP run stay within bf16 accumulation
+        noise of the replicated fp32 run (bounded max |delta| relative to
+        the logit scale, high argmax agreement).
+
+    Returns the measured deltas for the dry-run report."""
+    import dataclasses as _dc
+
+    from ..core.presets import get_preset
+
+    cfg = get_preset(preset)
+    tk = cfg.talker
+    tparams32 = jax.jit(talker_lib.init_params, static_argnums=(1, 2))(
+        jax.random.PRNGKey(0), tk, jnp.float32)
+    H = tk.hidden_size
+    embeds32 = jnp.asarray(
+        np.random.RandomState(2).randn(1, 10, H), jnp.float32) * 0.1
+
+    def prompt_logits(dtype, shard: bool) -> np.ndarray:
+        p = jax.tree.map(lambda a: a.astype(dtype), tparams32)
+        if shard:
+            p = shard_params(p, mesh, talker_param_specs(tk))
+        e = embeds32.astype(dtype)
+        T = e.shape[1]
+        pad = jnp.zeros((1,), jnp.int32)
+        kv = talker_lib.new_kv_cache(tk, 1, T, dtype)
+        eff = jnp.maximum(
+            jnp.arange(T, dtype=jnp.int32)[None, :] - pad[:, None], 0)
+        cos, sin = talker_lib._positions(tk, eff)
+        mask = prefill_mask(T, T, pad)
+        x, _ = stack_forward(p["blocks"], e, cos, sin, kv, jnp.int32(0),
+                             mask, talker_lib.block_spec(tk))
+        x = rms_norm(x, p["final_norm"], tk.rms_norm_eps)
+        return np.asarray(talker_lib.codec_head(p, x)[0], np.float32)
+
+    lo32 = prompt_logits(jnp.float32, shard=False)
+    with mesh:
+        lobf = prompt_logits(jnp.bfloat16, shard=True)
+    scale = max(1.0, float(np.abs(lo32).max()))
+    max_delta = float(np.abs(lo32 - lobf).max())
+    argmax_agree = float((lo32.argmax(-1) == lobf.argmax(-1)).mean())
+    assert max_delta < 0.08 * scale, (
+        f"bf16 TP logits moved beyond accumulation noise: max|delta| "
+        f"{max_delta:.4f} vs scale {scale:.2f}")
+    assert argmax_agree >= 0.8, (
+        f"bf16 TP argmax agreement {argmax_agree:.2f} < 0.8")
+
+    # structurally valid bf16 TP generation through the REAL Engine path
+    ids, ids_single = sharded_flagship_check(
+        mesh, steps=steps, preset=preset, kv_quant=kv_quant,
+        max_seq_len=max_seq_len, dtype="bfloat16")
+    assert ids.ndim == 2 and ids.shape[1] == 16 and ids.shape[0] >= 1, ids.shape
+    assert (ids >= 0).all()
+    assert (ids[:, 0] < tk.vocab_size - 1024).all(), "suppressed zone sampled"
+    assert not (ids[:, 0] == tk.codec_eos_token_id).any(), "EOS leaked"
+    assert (ids[:, 1:] < cfg.predictor.codebook_size).all()
+    token_agree = float(
+        (ids[: len(ids_single), 0] == ids_single[: len(ids), 0]).mean())
+    return {
+        "logit_max_delta": max_delta,
+        "logit_scale": scale,
+        "argmax_agree": argmax_agree,
+        "bf16_token_agree_vs_replicated": token_agree,
+        "steps": int(ids.shape[0]),
+    }
+
+
 # ---------------------------------------------------------------------------
 # sharded training step (forward + loss + grad + adamw)
 # ---------------------------------------------------------------------------

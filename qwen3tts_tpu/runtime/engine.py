@@ -216,6 +216,7 @@ class Engine:
         kv,
         key: jax.Array,
         knobs: jnp.ndarray,  # [6] traced sampling knobs (make_knobs)
+        max_roll: jnp.ndarray,  # [] int32 — compaction cap (pos floor)
         policy: StaticPolicy,
     ):
         last, logits, kv = talker_lib.prefill(
@@ -229,8 +230,13 @@ class Engine:
         # pad_count for the whole decode phase.  One fused O(cache) move,
         # amortized over the generation.  The roll amount is min over the
         # batch (the cache position axis is shared across rows); for B==1
-        # this is full compaction.
-        roll = jnp.min(pad_count)
+        # this is full compaction.  ``max_roll`` caps the compaction so the
+        # continuous batcher can FLOOR the start position: a mid-batch
+        # join_row splices at [pos-Tb', pos), so a queued joiner whose
+        # prompt buckets at Tb' can only admit once pos >= Tb' — holding
+        # pos at batch start (instead of waiting ~Tb'/chunk decode chunks)
+        # removes the largest avoidable occupancy hole in saturated serving.
+        roll = jnp.minimum(jnp.min(pad_count), max_roll)
         # position axis: 2 for k/v [L,B,S,KVH,D], 3 for scales [L,B,KVH,S]
         kv = {key_: jnp.roll(val, -roll, axis=2 if val.ndim == 5 else 3)
               for key_, val in kv.items()}
@@ -274,8 +280,14 @@ class Engine:
         knobs: Optional[jnp.ndarray] = None,
         pad_count: Optional[jnp.ndarray] = None,
         bucketed: bool = True,
+        pos_floor: Optional[int] = None,
     ) -> Dict:
-        """Left-pad to a bucket, run prefill, sample the first token."""
+        """Left-pad to a bucket, run prefill, sample the first token.
+
+        ``pos_floor``: cap the cache compaction so the post-prefill position
+        is at least this value (continuous batcher: queued joiners whose
+        prompts bucket at ``pos_floor`` can then admit immediately instead
+        of waiting for the position to grow past their bucket)."""
         B, T, H = embeds.shape
         base_pad = (
             np.zeros((B,), np.int32) if pad_count is None else np.asarray(pad_count)
@@ -303,9 +315,10 @@ class Engine:
         pad = jnp.asarray(base_pad + extra, jnp.int32)
         if knobs is None:
             knobs = make_knobs(policy, pred_policy)
+        max_roll = Tb if pos_floor is None else max(Tb - pos_floor, 0)
         return self._prefill_jit(
             self.talker_params, embeds, pad, self.new_kv(), key, knobs,
-            policy=policy.static,
+            jnp.int32(max_roll), policy=policy.static,
         )
 
     # ------------------------------------------------------------------
@@ -760,7 +773,8 @@ class Engine:
         state_spec = jax.eval_shape(
             functools.partial(self._prefill_jit, policy=policy.static),
             p_spec, sds((B, Tb, H), self.dtype), sds((B,), jnp.int32),
-            kv_spec, spec(jax.random.PRNGKey(0)), spec(jnp.asarray(knobs)))
+            kv_spec, spec(jax.random.PRNGKey(0)), spec(jnp.asarray(knobs)),
+            sds((), jnp.int32))
         t0 = time.time()
         jit_fn.lower(
             p_spec, state_spec, sds((1, Tb, H), self.dtype),
@@ -798,7 +812,7 @@ class Engine:
         knobs = make_knobs(policy, pred_policy)
         state = self._prefill_jit(
             self.talker_params, embeds, jnp.zeros((B,), jnp.int32), self.new_kv(),
-            key, knobs, policy=policy.static,
+            key, knobs, jnp.int32(Tb), policy=policy.static,
         )
         for cs in chunk_sizes:
             state, frames, n, lens, done = self.decode_chunk(
@@ -847,7 +861,7 @@ class Engine:
             embeds = jnp.zeros((B, Tb, H), self.dtype)
             state = self._prefill_jit(
                 self.talker_params, embeds, jnp.zeros((B,), jnp.int32),
-                self.new_kv(), key, knobs, policy=policy.static,
+                self.new_kv(), key, knobs, jnp.int32(Tb), policy=policy.static,
             )
         for Tt in t_buckets:
             tth = jnp.zeros((B, Tt, H), self.dtype)

@@ -425,6 +425,20 @@ class ContinuousBatcher:
         #     time (325-380 ms of batch-setup stall per new length).
         T = max(r.embeds.shape[1] for r in initial)
         Tb = bucket_for(T)
+        # Position headroom for queued joiners: join_row splices a prompt at
+        # [pos-Tb, pos), so a joiner's bucket must be <= the shared position
+        # — which only crosses a larger bucket after enough decode chunks.
+        # On a saturated start, lift the initial prefill straight to the
+        # largest bucket any ALREADY-WAITING request needs: pos begins there
+        # and every queued joiner admits the moment a slot frees (measured:
+        # bucket-256 joiners otherwise idled 5-7 chunks at live=2-3 waiting
+        # for pos to cross 256 — the largest avoidable occupancy hole in the
+        # saturated trace).  Light load (empty queue) keeps the minimal
+        # bucket: TTFA beats position headroom when nobody is waiting.
+        self._drain_arrivals()
+        need = max((bucket_for(r.embeds.shape[1]) for r in self._waiting),
+                   default=0)
+        Tb = max(Tb, need)
         self._check_warmed(Tb)
         embeds = np.zeros((B, Tb, H), np.float32)
         pads = np.full((B,), Tb, np.int32)  # unused rows: fully padded
@@ -436,9 +450,11 @@ class ContinuousBatcher:
         state = eng.prefill(
             embeds, self.model._next_key(), self.policy,
             pad_count=pads, knobs=self.knobs,
+            pos_floor=need if need else None,
         )
         t_prefill = time.time()
-        pos = Tb - int(pads.min())  # prefill compacts by min(pad)
+        # prefill compacts by min(pad), capped so pos >= need (pos_floor)
+        pos = Tb - min(int(pads.min()), Tb - need)
         if len(initial) < B:
             mask = np.zeros((B,), bool)
             mask[len(initial):] = True
@@ -577,9 +593,15 @@ class ContinuousBatcher:
             # row whose previous occupant was budget-forced this iteration
             # cleanly resets the row's done flag.
             if pending_force.any():
+                # device-resident per-row masks (uploaded once): the or is a
+                # pure async dispatch — a serve-time host->device transfer
+                # here blocks the worker for a full round trip (and any
+                # tunnel hiccup lands on every live stream)
                 cur_state = dict(cur_state)
-                cur_state["done"] = (cur_state["done"]
-                                     | jnp.asarray(pending_force))
+                d = cur_state["done"]
+                for fb in np.nonzero(pending_force)[0]:
+                    d = d | self._force_mask(int(fb))
+                cur_state["done"] = d
                 pending_force = np.zeros((B,), bool)
             for b, req in deferred_joins:
                 t_j0 = time.time()
@@ -790,6 +812,19 @@ class ContinuousBatcher:
         self._stats["active_rows"] = 0
 
     # ---- per-request helpers
+
+    def _force_mask(self, b: int) -> jnp.ndarray:
+        """Device-resident one-hot bool [B] mask for forcing row ``b`` done
+        (uploaded once per row, cached for the batcher's lifetime)."""
+        masks = getattr(self, "_force_masks", None)
+        if masks is None:
+            masks = self._force_masks = {}
+        m = masks.get(b)
+        if m is None:
+            host = np.zeros((self.B,), bool)
+            host[b] = True
+            m = masks[b] = jnp.asarray(host)
+        return m
 
     def _start_request(self, req: _Request):
         req.started_at = time.time()
@@ -1005,6 +1040,12 @@ class ContinuousBatcher:
             state = eng.prefill(
                 jnp.zeros((self.B, PREFILL_BUCKETS[0], H), eng.dtype),
                 jax.random.PRNGKey(0), self.policy, knobs=self.knobs)
+        # force-done program: predictive budget retirement ORs a device-
+        # resident row mask into state["done"] mid-serve; without this its
+        # first use compiles inline in the join section (measured 0.8-1.1 s
+        # stall, every live stream waiting).  Also pre-uploads all B masks.
+        jax.block_until_ready(
+            [state["done"] | self._force_mask(b) for b in range(self.B)])
         # fused batched decode+vocode program (every tth bucket, so a
         # mid-serving re-bucket never hits a compile stall) + row scatter
         voc = self.model.vocoder

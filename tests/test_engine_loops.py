@@ -187,3 +187,25 @@ def test_first_chunks_rampup(tiny_engine, prompt_inputs, fast_ids):
     assert sizes[0] == 2 and sizes[1] == 4
     ids = np.concatenate([c for c, _ in chunks], axis=0)
     np.testing.assert_array_equal(ids, fast_ids[0])
+
+
+def test_prefill_pos_floor_token_exact(tiny_engine, prompt_inputs):
+    """``pos_floor`` caps the cache compaction (the continuous batcher holds
+    the start position so queued long-prompt joiners admit immediately);
+    the retained left-pad is masked, so decode tokens are UNCHANGED."""
+    embeds, tth, tpe = prompt_inputs
+
+    def run(pos_floor):
+        state = tiny_engine.prefill(embeds, KEY, POL, PPOL,
+                                    pos_floor=pos_floor)
+        pos = int(state["pos"])
+        state, frames, n, lens, done = tiny_engine.decode_chunk(
+            state, tth, tth.shape[1], tpe, POL, PPOL, 8)
+        tiny_engine.release(state)
+        return pos, np.asarray(frames[0, : int(lens[0])])
+
+    pos_nat, frames_nat = run(None)
+    pos_flr, frames_flr = run(32)
+    assert pos_nat == embeds.shape[1]       # full compaction at B=1
+    assert pos_flr == 32                    # floored at the bucket
+    np.testing.assert_array_equal(frames_nat, frames_flr)
