@@ -142,6 +142,11 @@ def make_handler(state: TTSState):
                 return self._json_error(400, "missing 'input'")
             if len(text) > MAX_INPUT_CHARS:
                 return self._json_error(400, f"input too long (max {MAX_INPUT_CHARS})")
+            # `speed` is part of the OpenAI schema; accepted and ignored,
+            # exactly like the reference (examples/openai_server.py:83 —
+            # the model has no rate control), so standard clients that
+            # always send it don't break.
+            req.pop("speed", None)
             fmt = req.get("response_format", "wav")
             if fmt == "mp3" and not mp3.is_available():
                 return self._json_error(
