@@ -179,12 +179,16 @@ def featurize(wavs, texts, cfg: ASRConfig, mel_T: int, lab_L: int):
     return mels, mel_lens, labels, lab_lens
 
 
-def train(cfg: ASRConfig, data, *, lr=3e-4, epochs=60, batch=32, seed=0,
+def train(cfg: ASRConfig, data, *, lr=4e-4, epochs=60, batch=32, seed=0,
           dropout=0.0, mel_jitter=True):
     mels, mel_lens, labels, lab_lens = data
     N = len(mels)
     params = init_params(jax.random.PRNGKey(seed), cfg)
-    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(lr))
+    total_steps = max((N // batch) * epochs, 1)
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, lr, warmup_steps=min(500, total_steps // 10 + 1),
+        decay_steps=total_steps, end_value=lr * 0.02)
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(sched))
     opt = tx.init(params)
 
     def loss_fn(p, mel, mel_len, lab, lab_len, key):
