@@ -159,15 +159,21 @@ def synthesize(model, texts, ref_wav, batch=8, draw=None, temperature=0.8):
 
 
 def featurize(wavs, texts, cfg: ASRConfig, mel_T: int, lab_L: int):
-    """(mel [N,mel_T,80], mel_lens, labels [N,lab_L], lab_lens)."""
+    """(mel [N,mel_T,80], mel_lens, labels [N,lab_L], lab_lens, log_rms).
+
+    ``log_rms`` is ln(RMS) of the 24 kHz waveform — the reference scale the
+    gate's SNR draws are relative to — used by the train-time matched-noise
+    jitter."""
     N = len(wavs)
     mels = np.full((N, mel_T, cfg.n_mels), asr_lib._LOG_MEL_PAD, np.float32)
     mel_lens = np.zeros((N,), np.int32)
     labels = np.zeros((N, lab_L), np.int32)
     lab_lens = np.zeros((N,), np.int32)
+    log_rms = np.zeros((N,), np.float32)
     for i, (w, t) in enumerate(zip(wavs, texts)):
-        w16 = asr_lib._resample(np.asarray(w, np.float32), 24_000,
-                                cfg.sample_rate)
+        w = np.asarray(w, np.float32)
+        log_rms[i] = float(np.log(np.sqrt((w ** 2).mean()) + 1e-12))
+        w16 = asr_lib._resample(w, 24_000, cfg.sample_rate)
         m = np.asarray(log_mel(jnp.asarray(w16), cfg.n_mels, cfg.sample_rate))
         L = min(len(m), mel_T)
         mels[i, :L] = m[:L]
@@ -176,12 +182,29 @@ def featurize(wavs, texts, cfg: ASRConfig, mel_T: int, lab_L: int):
         assert len(ids) <= lab_L, (len(ids), lab_L)
         labels[i, :len(ids)] = ids
         lab_lens[i] = len(ids)
-    return mels, mel_lens, labels, lab_lens
+    return mels, mel_lens, labels, lab_lens, log_rms
+
+
+def noise_mel_floor(cfg: ASRConfig) -> np.ndarray:
+    """Per-mel-bin expected log-power of UNIT-variance white noise [n_mels].
+
+    Measured empirically through the same log_mel frontend the recognizer
+    uses, so the train-time noise model below is exact for any noise std σ:
+    a stationary white-noise floor at std σ sits at ``floor + 2·ln σ`` in
+    log-power mels, and signal+noise is ``logaddexp(mel, floor + 2 ln σ)``
+    (powers add; cross-term has zero mean).  The gate adds its noise to the
+    24 kHz waveform BEFORE the 16 kHz resample, so the probe noise takes the
+    same path (the resampler shapes the noise spectrum)."""
+    w24 = np.random.RandomState(1234).randn(24_000 * 4).astype(np.float32)
+    w = asr_lib._resample(w24, 24_000, cfg.sample_rate)
+    m = np.asarray(log_mel(jnp.asarray(w), cfg.n_mels, cfg.sample_rate))
+    # mean in the power domain (the floor is E[power], not E[log power])
+    return np.log(np.exp(m).mean(axis=0)).astype(np.float32)
 
 
 def train(cfg: ASRConfig, data, *, lr=4e-4, epochs=60, batch=32, seed=0,
-          dropout=0.0, mel_jitter=True):
-    mels, mel_lens, labels, lab_lens = data
+          dropout=0.0, mel_jitter=True, eval_fn=None, eval_every=0):
+    mels, mel_lens, labels, lab_lens, log_rms = data
     N = len(mels)
     params = init_params(jax.random.PRNGKey(seed), cfg)
     total_steps = max((N // batch) * epochs, 1)
@@ -190,31 +213,46 @@ def train(cfg: ASRConfig, data, *, lr=4e-4, epochs=60, batch=32, seed=0,
         decay_steps=total_steps, end_value=lr * 0.02)
     tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(sched))
     opt = tx.init(params)
+    nfloor = jnp.asarray(noise_mel_floor(cfg))
 
-    def loss_fn(p, mel, mel_len, lab, lab_len, key):
+    def loss_fn(p, mel, mel_len, lrms, lab, lab_len, key):
         if mel_jitter:
             # ON-THE-FLY mel-domain jitter — fresh every step, so the model
             # cannot memorize perturbation instances (a finite precomputed
             # augmentation set WAS memorized: loss -> 0, unseen-perturbation
-            # CER 0.77).  Gain is exact in log-mel (a wav gain g is a
-            # uniform +2·ln g shift); the time roll and additive noise
-            # approximate the waveform-level shift/SNR perturbations the
-            # gate draws from a disjoint seed range.
-            kg, kr, kn, kd, key = jax.random.split(key, 5)
+            # CER 0.77).  All three gate perturbations are modeled EXACTLY
+            # in log-power mels: gain g is a uniform +2·ln g shift, the
+            # lead-silence shift is a frame roll, and additive white noise
+            # at std σ is logaddexp with the measured unit-noise floor
+            # shifted by 2·ln σ (σ from the utterance RMS and a random SNR
+            # drawn slightly wider than the gate's 15-35 dB range).
+            kg, kr, kn, kd, ks, key = jax.random.split(key, 6)
+            gain_ln = jax.random.uniform(
+                kg, (mel.shape[0], 1, 1),
+                minval=jnp.log(0.5), maxval=jnp.log(1.6))
             valid = (jnp.arange(mel.shape[1])[None, :, None]
                      < mel_len[:, None, None])
-            gain = jax.random.uniform(
-                kg, (mel.shape[0], 1, 1),
-                minval=2 * jnp.log(0.5), maxval=2 * jnp.log(1.6))
-            mel = jnp.where(valid, mel + gain, mel)
+            mel = jnp.where(valid, mel + 2 * gain_ln, mel)
+            # small unmatched jitter for regularization (kept from r4a)
             noise = jax.random.normal(kn, mel.shape) \
-                * jax.random.uniform(kd, (mel.shape[0], 1, 1), maxval=0.5)
+                * jax.random.uniform(kd, (mel.shape[0], 1, 1), maxval=0.25)
             mel = jnp.where(valid, mel + noise, mel)
             k = jax.random.randint(kr, (), 0, 24)  # <= ~0.24 s lead shift
             mel = jnp.roll(mel, k, axis=1)
             lead = jnp.arange(mel.shape[1])[None, :, None] < k
             mel = jnp.where(lead, asr_lib._LOG_MEL_PAD, mel)
             mel_len = jnp.minimum(mel_len + k, mel.shape[1])
+            # matched noise floor over the whole (shifted) utterance — the
+            # gate's noise covers its lead silence too, so apply AFTER the
+            # roll: lead frames become ~the bare floor via logaddexp(PAD, ·)
+            snr_db = jax.random.uniform(ks, (mel.shape[0], 1, 1),
+                                        minval=12.0, maxval=38.0)
+            sigma_ln = (lrms[:, None, None] + gain_ln
+                        - snr_db * (jnp.log(10.0) / 20.0))
+            floor = nfloor[None, None, :] + 2 * sigma_ln
+            valid2 = (jnp.arange(mel.shape[1])[None, :, None]
+                      < mel_len[:, None, None])
+            mel = jnp.where(valid2, jnp.logaddexp(mel, floor), mel)
         if dropout > 0.0:  # input-feature dropout: cheap augmentation
             keep = jax.random.bernoulli(key, 1.0 - dropout, mel.shape)
             mel = jnp.where(keep, mel, asr_lib._LOG_MEL_PAD)
@@ -230,9 +268,9 @@ def train(cfg: ASRConfig, data, *, lr=4e-4, epochs=60, batch=32, seed=0,
         return jnp.mean(per / jnp.maximum(lab_len, 1))
 
     @jax.jit
-    def step(p, o, mel, mel_len, lab, lab_len, key):
-        loss, g = jax.value_and_grad(loss_fn)(p, mel, mel_len, lab, lab_len,
-                                              key)
+    def step(p, o, mel, mel_len, lrms, lab, lab_len, key):
+        loss, g = jax.value_and_grad(loss_fn)(p, mel, mel_len, lrms, lab,
+                                              lab_len, key)
         up, o = tx.update(g, o, p)
         return optax.apply_updates(p, up), o, loss
 
@@ -246,13 +284,15 @@ def train(cfg: ASRConfig, data, *, lr=4e-4, epochs=60, batch=32, seed=0,
             idx = order[i:i + batch]
             key, ks = jax.random.split(key)
             params, opt, loss = step(
-                params, opt, mels[idx], mel_lens[idx], labels[idx],
-                lab_lens[idx], ks)
+                params, opt, mels[idx], mel_lens[idx], log_rms[idx],
+                labels[idx], lab_lens[idx], ks)
             tot += float(loss)
             nb += 1
         if ep % 5 == 0 or ep == epochs - 1:
             print(f"  epoch {ep:3d} loss {tot / max(nb, 1):.4f} "
                   f"({time.time() - t0:.0f}s)", file=sys.stderr)
+        if eval_fn is not None and eval_every and ep and ep % eval_every == 0:
+            print(f"  epoch {ep:3d} {eval_fn(params)}", file=sys.stderr)
     return params
 
 
@@ -396,8 +436,12 @@ def main():
           f" {len(all_train_wavs)} utts = {args.n_train} texts x "
           f"{n_spk + len(draw_wavs)} renditions x {1 + args.n_aug} "
           f"perturbations)", file=sys.stderr)
+    def gate_eval(p):
+        g, _ = eval_cer(CTCRecognizer(cfg, p), gate_wavs_aug, gate_texts)
+        return f"gate CER {g:.3f}"
+
     params = train(cfg, data, epochs=args.epochs, dropout=args.dropout,
-                   mel_jitter=True)
+                   mel_jitter=True, eval_fn=gate_eval, eval_every=50)
     rec = CTCRecognizer(cfg, params)
 
     train_cer, _ = eval_cer(rec, all_train_wavs[:32], all_train_texts[:32])
