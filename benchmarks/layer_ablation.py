@@ -43,14 +43,25 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def timeit_pipelined(fn, iters):
-    jax.block_until_ready(fn())
-    t0 = time.time()
-    out = None
-    for _ in range(iters):
-        out = fn()
-    jax.block_until_ready(out)
-    return (time.time() - t0) / iters
+def timeit_readback_delta(mk_run, call_T, T, reps=5):
+    """Per-step seconds via the two-length readback protocol.
+
+    On the tunneled axon runtime ``block_until_ready`` can return early for
+    some compiled programs (measured: a 1.3 ms/step 28-layer stack "timed"
+    at 0.004 ms/step), so single-call timing is untrustworthy.  Forcing a
+    device->host readback (np.asarray) is reliable but adds the tunnel RTT;
+    timing the SAME program at inner-loop lengths T and 2T and taking the
+    delta cancels both the RTT and the dispatch cost exactly."""
+    def med(T_):
+        run = mk_run(T_)
+        np.asarray(call_T(run))  # warm (compile) + readback
+        ts = []
+        for _ in range(reps):
+            t0 = time.time()
+            np.asarray(call_T(run))
+            ts.append(time.time() - t0)
+        return sorted(ts)[len(ts) // 2]
+    return (med(2 * T) - med(T)) / T
 
 
 def main():
@@ -118,62 +129,65 @@ def main():
         return xc + (jax.nn.silu(gu[..., :I]) * gu[..., I:]) @ lp["down_proj"]
 
     def make_stateless(layer_fn):
-        @jax.jit
-        def run(x, bl):
-            def outer(i, xc):
-                def body(carry, lp):
-                    return layer_fn(carry, lp), None
-                xc, _ = jax.lax.scan(body, xc, bl)
-                return xc * 1e-3  # keep magnitude bounded across T steps
-            return jax.lax.fori_loop(0, T, outer, x)
-        return run
+        def mk(T_):
+            @jax.jit
+            def run(x, bl):
+                def outer(i, xc):
+                    def body(carry, lp):
+                        return layer_fn(carry, lp), None
+                    xc, _ = jax.lax.scan(body, xc, bl)
+                    # keep magnitude bounded across T steps; the clip keeps
+                    # the norm-free variant finite (28 un-normalized layers
+                    # overflow bf16 into NaN otherwise)
+                    return jnp.clip(xc * 1e-3, -10.0, 10.0)
+                return jax.lax.fori_loop(0, T_, outer, x)
+            return run
+        return mk
 
     results = {}
     for name, fn in (("mm_only", mm_layer), ("mm_norms", mmn_layer),
                      ("mm_rope", mmr_layer)):
-        run = make_stateless(fn)
-        t = timeit_pipelined(lambda run=run: run(x0, blocks), args.iters) / T
+        t = timeit_readback_delta(make_stateless(fn),
+                                  lambda run: run(x0, blocks), T)
         results[name] = round(t * 1e3, 3)
         log(name, results[name], "ms", f"{gb/t:.0f} GB/s")
 
     # --- variants that touch the KV cache ---
     def make_kv_variant(mode):
-        @functools.partial(jax.jit, donate_argnames=("kv",),
-                           static_argnames=("m",))
-        def run(x, bl, kv, m):
-            def outer(i, carry):
-                xc, kvc = carry
-                pos_i = pos  # fixed position: bytes read constant across steps
-                mask = decode_mask(S, pos_i, pad)
-                fctx = ({"pos": pos_i, "pad": pad, "window": None}
-                        if m == "flash" else None)
+        def mk(T_):
+            @functools.partial(jax.jit, donate_argnames=("kv",),
+                               static_argnames=("m",))
+            def run(x, bl, kv, m):
+                def outer(i, carry):
+                    xc, kvc = carry
+                    pos_i = pos  # fixed position: constant bytes per step
+                    mask = decode_mask(S, pos_i, pad)
+                    fctx = ({"pos": pos_i, "pad": pad, "window": None}
+                            if m == "flash" else None)
 
-                def body(c, inp):
-                    xb, kvb = c
-                    lp, l = inp
-                    xb, kvb = block_forward(
-                        lp, xb, cos, sin, kvb, l, pos_i, mask, spec,
-                        flash_ctx=fctx)
-                    return (xb, kvb), None
+                    def body(c, inp):
+                        xb, kvb = c
+                        lp, l = inp
+                        xb, kvb = block_forward(
+                            lp, xb, cos, sin, kvb, l, pos_i, mask, spec,
+                            flash_ctx=fctx)
+                        return (xb, kvb), None
 
-                (xc, kvc), _ = jax.lax.scan(
-                    body, (xc, kvc),
-                    (bl, jnp.arange(spec.num_layers, dtype=jnp.int32)))
-                return xc * 1e-3, kvc
-            return jax.lax.fori_loop(0, T, outer, (x, kv))
-        return run
+                    (xc, kvc), _ = jax.lax.scan(
+                        body, (xc, kvc),
+                        (bl, jnp.arange(spec.num_layers, dtype=jnp.int32)))
+                    return xc * 1e-3, kvc
+                return jax.lax.fori_loop(0, T_, outer, (x, kv))
+            return run
+        return mk
 
     for name, m in (("attn_masked", "masked"), ("attn_flash", "flash")):
-        kv = init_kv_cache(spec, 1, S, dt)
-        run = make_kv_variant(m)
-
-        def call(run=run, m=m):
-            nonlocal kv
-            out, kv = run(x0, blocks, kv, m)
+        def call(run, m=m):
+            # fresh cache every call: kv is donated into the program
+            out, _ = run(x0, blocks, init_kv_cache(spec, 1, S, dt), m)
             return out
 
-        # re-donate: kv is rebound each call
-        t = timeit_pipelined(call, args.iters) / T
+        t = timeit_readback_delta(make_kv_variant(m), call, T)
         results[name] = round(t * 1e3, 3)
         log(name, results[name], "ms", f"{gb/t:.0f} GB/s")
 
