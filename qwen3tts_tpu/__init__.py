@@ -7,20 +7,34 @@ import os as _os
 
 
 def _host_fingerprint():
-    """Short stable id of the local CPU's ISA surface (machine arch + the
+    """Short stable id of the local CPU (machine arch + model name + the
     /proc/cpuinfo feature flags), used to partition the XLA compile cache
-    per host type."""
+    per host type.
+
+    The model name matters, not just the flags: XLA:CPU's AOT object code
+    embeds *tuning* preferences chosen from the detected CPU model (e.g.
+    ``+prefer-no-gather``) that never appear in /proc/cpuinfo flags, so two
+    hosts with identical flag lines can still produce mutually unloadable
+    cache entries (observed: every driver-side load failed with
+    ``cpu_aot_loader`` machine-feature errors and recompiled cold,
+    MULTICHIP_r04)."""
     try:
         import hashlib
         import platform
 
         txt = platform.machine()
+        # family/model/stepping are the raw CPUID identity LLVM keys its
+        # tuning detection on; "model name" strings can be generic under
+        # virtualization.  Stop after the first core's block.
+        want = ("flags", "Features", "model name", "cpu family",
+                "model\t", "stepping")
         try:
             with open("/proc/cpuinfo") as f:
                 for line in f:
-                    if line.startswith(("flags", "Features")):
-                        txt += line
+                    if not line.strip():
                         break
+                    if line.startswith(want):
+                        txt += line
         except OSError:
             pass
         return hashlib.sha1(txt.encode()).hexdigest()[:8]
@@ -35,6 +49,24 @@ def _enable_compile_cache():
     start reuses every executable."""
     try:
         import jax
+
+        # Pure-CPU processes (JAX_PLATFORMS=cpu — the test suite and the
+        # driver's multi-chip dryrun) get NO persistent cache: this jax
+        # build's XLA:CPU AOT cache never loads its own entries — the
+        # object code embeds LLVM tuning preferences (+prefer-no-scatter)
+        # as required target features, and the loader checks them against
+        # host CPUID features, which never include preferences.  Measured
+        # same-host: a second fresh process fails to load what the first
+        # wrote (docs/RESULTS.md round 5; MULTICHIP_r04 rc=124 was this).
+        # A CPU cache is pure cost.  TPU/axon processes keep the cache —
+        # TPU executables don't go through cpu_aot_loader, and a cold
+        # remote compile costs minutes.
+        platforms_now = (
+            _os.environ.get("JAX_PLATFORMS", "")
+            or str(getattr(jax.config, "jax_platforms", None) or "")
+        )
+        if platforms_now and set(platforms_now.split(",")) <= {"cpu"}:
+            return
 
         cache_dir = _os.environ.get(
             "QWEN3TTS_XLA_CACHE",

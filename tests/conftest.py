@@ -10,6 +10,15 @@ import jax
 
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_platforms", "cpu")
+# No persistent XLA cache for tests: this jax build's XLA:CPU AOT cache
+# NEVER loads its own entries — the compiled object embeds LLVM *tuning*
+# preferences (+prefer-no-scatter/+prefer-no-gather) as required target
+# features, and the loader validates them against host CPUID features,
+# which never include preferences.  Measured same-host, two fresh
+# processes: run 1 writes 2 entries, run 2 logs 4 cpu_aot_loader failures
+# loading them (docs/RESULTS.md round 5).  A CPU cache is therefore pure
+# cost (write + failed-load spam + cold recompile anyway — the
+# MULTICHIP_r04 rc=124 poisoning); tests are budgeted cold.
 
 import jax.numpy as jnp
 import numpy as np
