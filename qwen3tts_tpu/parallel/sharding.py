@@ -266,6 +266,50 @@ def sharded_batched_serving_check(
     return sharded, single
 
 
+def _host_init_tree(shape_tree, seed: int) -> Dict:
+    """Numpy-backed random init of a param pytree from its eval_shape:
+    norm gains → 1, 1-D biases → 0, matrices → N(0, fan_in**-0.5).
+
+    The distributions mirror ``init_params``/``init_block_stack`` (values
+    differ — every dryrun comparison uses the SAME params on both sides, so
+    only the distribution matters).  Exists because the jitted threefry init
+    alone costs ~100 s at flagship size on the virtual-CPU dryrun path
+    (measured r5 stage timing) — a third of the whole dryrun budget — while
+    host numpy generates the same tensor set in seconds."""
+    rng = np.random.default_rng(seed)
+    leaves, treedef = jax.tree_util.tree_flatten_with_path(shape_tree)
+
+    def make(path, leaf):
+        name = "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                        for p in path)
+        dt = leaf.dtype
+        if "norm" in name:
+            return jnp.ones(leaf.shape, dt)
+        if leaf.ndim == 1:
+            return jnp.zeros(leaf.shape, dt)
+        fan_in = leaf.shape[-2]
+        x = rng.standard_normal(leaf.shape, dtype=np.float32)
+        return jnp.asarray(x * fan_in ** -0.5, dt)
+
+    return jax.tree_util.tree_unflatten(
+        treedef, [make(p, l) for p, l in leaves])
+
+
+def host_init_flagship(cfg, dtype=jnp.float32) -> Tuple[Dict, Dict]:
+    """(talker_params, predictor_params) for ``cfg`` built on the host —
+    see _host_init_tree for why this exists (dryrun compile budget)."""
+    from ..models import predictor as predictor_lib
+
+    tk = cfg.talker
+    t_shapes = jax.eval_shape(
+        lambda k: talker_lib.init_params(k, tk, dtype), jax.random.PRNGKey(0))
+    p_shapes = jax.eval_shape(
+        lambda k: predictor_lib.init_params(k, cfg.predictor, tk.hidden_size,
+                                            dtype),
+        jax.random.PRNGKey(1))
+    return _host_init_tree(t_shapes, seed=0), _host_init_tree(p_shapes, seed=1)
+
+
 def sharded_flagship_check(
     mesh: Mesh,
     steps: int = 4,
@@ -274,7 +318,9 @@ def sharded_flagship_check(
     kv_quant: bool = True,
     max_seq_len: int = 64,
     dtype: Optional[str] = "float32",
-) -> Tuple[np.ndarray, np.ndarray]:
+    params: Optional[Tuple[Dict, Dict]] = None,
+    run_single: bool = True,
+) -> Tuple[np.ndarray, Optional[np.ndarray]]:
     """The REAL flagship config (0.6B preset: 28 layers, hidden 1024,
     GQA 16/8) traced through the Engine's serving path under TP — including
     the int8 KV-cache layout (``kv_quant=True``), whose scale planes shard
@@ -292,7 +338,12 @@ def sharded_flagship_check(
     — the same hardware-dependent-argmax lesson the reference's parity suite
     documents and solves with fp32/TF32-off (test_e2e_parity.py:412-425).
     Token-exactness in fp32 certifies the sharding layout; bf16 remains the
-    production dtype with structural (not exact) guarantees."""
+    production dtype with structural (not exact) guarantees.
+
+    ``params``: pre-built fp32 (talker, predictor) pytrees to reuse (cast to
+    ``dtype`` here) — the dryrun inits the flagship ONCE and shares it across
+    the fp32 and bf16 checks (VERDICT r4 item 1).  ``run_single=False`` skips
+    the replicated baseline and returns (sharded, None)."""
     import dataclasses as _dc
 
     from ..core.presets import get_preset
@@ -308,10 +359,11 @@ def sharded_flagship_check(
     assert tk.num_key_value_heads % tp == 0, (tk.num_key_value_heads, tp)
     dtype = cfg.jnp_dtype
 
-    tparams = jax.jit(talker_lib.init_params, static_argnums=(1, 2))(
-        jax.random.PRNGKey(0), tk, dtype)
-    pparams = jax.jit(predictor_lib.init_params, static_argnums=(1, 2, 3))(
-        jax.random.PRNGKey(1), cfg.predictor, tk.hidden_size, dtype)
+    if params is not None:
+        tparams = jax.tree.map(lambda a: a.astype(dtype), params[0])
+        pparams = jax.tree.map(lambda a: a.astype(dtype), params[1])
+    else:
+        tparams, pparams = host_init_flagship(cfg, dtype)
     tparams, pparams = jax.block_until_ready((tparams, pparams))
 
     H = tk.hidden_size
@@ -339,7 +391,7 @@ def sharded_flagship_check(
 
     with mesh:
         sharded = run(True)
-    single = run(False)
+    single = run(False) if run_single else None
     return sharded, single
 
 
@@ -350,6 +402,9 @@ def sharded_flagship_structural_check(
     preset: str = "qwen3-tts-0.6b",
     kv_quant: bool = True,
     max_seq_len: int = 64,
+    params: Optional[Tuple[Dict, Dict]] = None,
+    fp32_ids: Optional[np.ndarray] = None,
+    engine_generation: bool = True,
 ) -> Dict[str, float]:
     """bf16 flagship TP: the Layer-2 *structural* analog (VERDICT r3 item 7).
 
@@ -368,15 +423,26 @@ def sharded_flagship_structural_check(
         noise of the replicated fp32 run (bounded max |delta| relative to
         the logit scale, high argmax agreement).
 
-    Returns the measured deltas for the dry-run report."""
+    Returns the measured deltas for the dry-run report.
+
+    Budget levers (VERDICT r4 item 1 — this check's fresh compiles cost the
+    r4 dryrun its timeout): ``params`` reuses the dryrun's single fp32 init;
+    ``fp32_ids`` (the fp32 replicated baseline tokens from
+    sharded_flagship_check) makes the bf16 engine generation a SINGLE sharded
+    run compared against that baseline instead of a fresh bf16
+    sharded+replicated pair; ``engine_generation=False`` keeps only the
+    prompt-logit structural layer."""
     import dataclasses as _dc
 
     from ..core.presets import get_preset
 
     cfg = get_preset(preset)
     tk = cfg.talker
-    tparams32 = jax.jit(talker_lib.init_params, static_argnums=(1, 2))(
-        jax.random.PRNGKey(0), tk, jnp.float32)
+    if params is not None:
+        tparams32 = params[0]
+    else:
+        params = host_init_flagship(cfg, jnp.float32)
+        tparams32 = params[0]
     H = tk.hidden_size
     embeds32 = jnp.asarray(
         np.random.RandomState(2).randn(1, 10, H), jnp.float32) * 0.1
@@ -410,10 +476,25 @@ def sharded_flagship_structural_check(
     assert argmax_agree >= 0.8, (
         f"bf16 TP argmax agreement {argmax_agree:.2f} < 0.8")
 
-    # structurally valid bf16 TP generation through the REAL Engine path
+    if not engine_generation:
+        return {
+            "logit_max_delta": max_delta,
+            "logit_scale": scale,
+            "argmax_agree": argmax_agree,
+            "bf16_token_agree_vs_replicated": float("nan"),
+            "steps": 0,
+        }
+
+    # structurally valid bf16 TP generation through the REAL Engine path.
+    # With an fp32 baseline in hand this is ONE sharded bf16 run (the
+    # replicated comparison target is the fp32 tokens); without one it falls
+    # back to a fresh bf16 sharded+replicated pair.
     ids, ids_single = sharded_flagship_check(
         mesh, steps=steps, preset=preset, kv_quant=kv_quant,
-        max_seq_len=max_seq_len, dtype="bfloat16")
+        max_seq_len=max_seq_len, dtype="bfloat16", params=params,
+        run_single=fp32_ids is None)
+    if ids_single is None:
+        ids_single = fp32_ids
     assert ids.ndim == 2 and ids.shape[1] == 16 and ids.shape[0] >= 1, ids.shape
     assert (ids >= 0).all()
     assert (ids[:, 0] < tk.vocab_size - 1024).all(), "suppressed zone sampled"
