@@ -52,6 +52,24 @@ def main():
                                            quantize=args.quantize)
     log(f"load: {time.time()-t0:.1f}s on {jax.devices()}")
 
+    # Tunnel-window health, recorded with the run: TTFA on this runtime
+    # includes 2-3 host<->device round trips, so a 27 ms-RTT window inflates
+    # it by ~40-60 ms over a healthy one (r4's 115.5 ms "regression" was
+    # exactly this — docs/RESULTS.md round 5).  Measured as a fetched-scalar
+    # round trip: block_until_ready can return early on the tunneled
+    # runtime, so the probe must read the value back.
+    import jax.numpy as jnp
+    probe = jax.jit(lambda a: (a * a).sum())
+    y = jnp.ones((16,), jnp.float32)
+    float(probe(y))  # compile
+    rtts = []
+    for _ in range(12):
+        tp = time.perf_counter()
+        float(probe(y))
+        rtts.append((time.perf_counter() - tp) * 1e3)
+    rtt_p50 = float(np.percentile(rtts, 50))
+    log(f"tunnel rtt p50: {rtt_p50:.1f} ms")
+
     sr = 24_000
     tt = np.linspace(0, 3.0, 3 * sr, dtype=np.float32)
     ref = (0.25 * np.sin(2 * np.pi * 180 * tt) * (0.6 + 0.4 * np.sin(2 * np.pi * 2.5 * tt))).astype(np.float32)
@@ -136,6 +154,7 @@ def main():
         "prefill_ms": round(prefill_ms, 1),
         "prefill_methodology": "warm (post-warmup, in-process)",
         "ms_per_step_nonstreaming": round(min(ms_steps), 2),
+        "tunnel_rtt_ms_p50": round(rtt_p50, 1),
         "steps": STEPS,
         "baseline": {"rtf_h100_cuda_graphs": BASELINE_RTF_H100,
                      "ttfa_ms_h100": 228, "rtf_target_v5e": 4.0},

@@ -93,6 +93,26 @@ def write_results(name: str, payload: dict):
     print(json.dumps({name: payload}, indent=2))
 
 
+def tunnel_rtt_p50(iters: int = 12) -> float:
+    """Fetched-scalar device round trip, p50 ms — the tunnel-window health
+    stamp recorded with every serving/bench artifact.  A ~27 ms window
+    inflates TTFA-class metrics by ~40-60 ms vs a healthy (<10 ms) one
+    (docs/RESULTS.md round 5); block_until_ready can return early on the
+    tunneled runtime, so the probe reads the value back."""
+    import jax
+    import jax.numpy as jnp
+
+    probe = jax.jit(lambda a: (a * a).sum())
+    y = jnp.ones((16,), jnp.float32)
+    float(probe(y))  # compile
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        float(probe(y))
+        ts.append((time.perf_counter() - t0) * 1e3)
+    return float(np.percentile(ts, 50))
+
+
 def invocation_record(*env_keys: str) -> dict:
     """The env knobs that produced a record, so any artifact entry can be
     regenerated from the repo alone (ADVICE r3: a SOAK_TAG-overridden record

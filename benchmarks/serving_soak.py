@@ -35,7 +35,7 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from common import (LANGUAGE, invocation_record, make_ref_audio,  # noqa: E402
-                    model_name, write_results)
+                    model_name, tunnel_rtt_p50, write_results)
 
 if os.environ.get("QWEN3TTS_BATCH_TRACE", "0") == "1":
     # the scheduler's per-chunk trace is logger.info — surface it
@@ -192,6 +192,11 @@ def main():
             "MODEL_SIZE", "SOAK_REQUESTS", "SOAK_BATCH", "SOAK_KV_QUANT",
             "SOAK_QUANT", "SOAK_SPREAD", "SOAK_RAMP", "SOAK_TAG",
             "QWEN3TTS_BATCH_PIPELINE", "QWEN3TTS_BATCH_TRACE"),
+        # window-health stamp: serving numbers on this runtime are
+        # tunnel-RTT-sensitive; a record is only comparable to another at
+        # similar RTT (VERDICT r4 item 5's "degraded window" caveat, made
+        # machine-readable)
+        "tunnel_rtt_ms_p50": round(tunnel_rtt_p50(), 1),
     }
     tag = "serving_soak"
     if KV_QUANT:
