@@ -35,6 +35,16 @@ def main():
     p.add_argument("--quantize", default=None)
     p.add_argument("--kv-quant", action="store_true",
                    help="int8 KV cache (per-row caches dominate at B>1)")
+    p.add_argument("--vocode", action="store_true",
+                   help="same-work serving ceiling: fused decode+vocode "
+                   "chunks (Engine.chunk_vocode_batched) with a 1-deep "
+                   "pipelined host audio fetch per chunk — the honest "
+                   "denominator for steady-state serving efficiency "
+                   "(the token-only sweep excludes vocoder FLOPs and the "
+                   "audio wire, which serving must pay)")
+    p.add_argument("--vocode-chunk", type=int, default=8)
+    p.add_argument("--no-pcm16", action="store_true",
+                   help="fetch f32 audio instead of device-quantized PCM16")
     args = p.parse_args()
 
     from qwen3tts_tpu.core.loader import load_pretrained
@@ -61,18 +71,46 @@ def main():
         tth = jnp.asarray(np.random.RandomState(1).randn(B, 16, H), dt) * 0.02
         tpe = jnp.zeros((B, 1, H), dt)
 
-        def run():
-            out, timing = loops.fast_generate_batch(
-                eng, embeds, tth, tpe, key=jax.random.PRNGKey(0),
-                max_new_tokens=args.steps, policy=pol, pred_policy=ppol,
-                device_chunk=16)
-            return timing
+        if args.vocode:
+            from qwen3tts_tpu.audio.vocoder import Vocoder
+            from qwen3tts_tpu.runtime.engine import make_knobs
+
+            voc = Vocoder(params["codec"], cfg.codec, compute_dtype=dt)
+            knobs = make_knobs(pol, ppol)
+            chunk = args.vocode_chunk
+            nchunks = max(1, args.steps // chunk)
+            tth_lens = jnp.full((B,), tth.shape[1], jnp.int32)
+            pcm16 = not args.no_pcm16
+
+            def run():
+                state = eng.prefill(embeds, jax.random.PRNGKey(0), pol)
+                vst = voc.stream_state_batched(B)
+                prev = None
+                t0 = time.perf_counter()
+                for _ in range(nchunks):
+                    out = eng.chunk_vocode_batched(
+                        voc, state, tth, tth_lens, tpe, pol, ppol, chunk,
+                        vst, knobs=knobs, pcm16=pcm16)
+                    state, vst = out[0], out[6]
+                    if prev is not None:
+                        np.asarray(prev)  # host audio fetch: the wire cost
+                    prev = out[5]
+                np.asarray(prev)
+                wall = time.perf_counter() - t0
+                eng.release(state)
+                return nchunks * chunk * B / wall
+        else:
+            def run():
+                _, timing = loops.fast_generate_batch(
+                    eng, embeds, tth, tpe, key=jax.random.PRNGKey(0),
+                    max_new_tokens=args.steps, policy=pol, pred_policy=ppol,
+                    device_chunk=16)
+                return timing["steps"] / timing["decode_s"]
 
         run()  # compile
         best = None
         for _ in range(2):
-            t = run()
-            fps = t["steps"] / t["decode_s"]
+            fps = run()
             best = fps if best is None else max(best, fps)
         results[B] = {
             "frames_per_s": round(best, 1),

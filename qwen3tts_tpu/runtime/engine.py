@@ -500,7 +500,7 @@ class Engine:
     # ------------------------------------------------------------------
 
     def _build_chunk_vocode(self, vocoder, chunk_size: int,
-                            full_batch: bool = False):
+                            full_batch: bool = False, pcm16: bool = False):
         """Compile decode_chunk + the codec's STATEFUL streaming decode into
         ONE program: one dispatch and one host fetch per streamed audio chunk.
 
@@ -537,6 +537,16 @@ class Engine:
             audio, voc_state = codec_lib.decode_stream(
                 voc_params, voc_cfg, voc_state, fr)
             out_audio = audio if full_batch else audio[0]
+            if pcm16:
+                # emit wire-ready PCM16 from the device: the serving fetch
+                # is the dominant per-chunk wire cost at large B (B=24
+                # chunk-8 = 1.5 MB fp32 vs 0.77 MB int16 — ~12 ms/chunk on
+                # a 61 MB/s tunnel), and every server endpoint ships 16-bit
+                # (pcm/wav/mp3) anyway.  Quantization lives on device; the
+                # host restores f32 for API uniformity.
+                out_audio = jnp.clip(
+                    jnp.round(out_audio.astype(jnp.float32) * 32767.0),
+                    -32768.0, 32767.0).astype(jnp.int16)
             return state, frames, n, lens, done, out_audio, voc_state
 
         return jax.jit(impl, static_argnames=("policy", "pred_policy"),
@@ -575,10 +585,12 @@ class Engine:
         )
 
     def chunk_vocode_batched(self, vocoder, state, tth, tth_len, tpe, policy,
-                             pred_policy, chunk_size, voc_state, knobs=None):
+                             pred_policy, chunk_size, voc_state, knobs=None,
+                             pcm16: bool = False):
         """Fused decode_chunk + BATCHED stateful vocoder: every batch row's
         chunk is decoded AND vocoded in one device program.  Returns
-        (state, frames, n, lens, done, audio [B, chunk*spf] f32, voc_state').
+        (state, frames, n, lens, done, audio [B, chunk*spf] f32 — or int16
+        PCM when ``pcm16`` (halves the per-chunk fetch bytes), voc_state').
         Row ``b``'s valid audio is ``audio[b, :lens[b]*spf]`` — the codec is
         strictly causal, so the valid prefix is exact even when the tail of
         the chunk is post-EOS garbage.  The continuous-batching scheduler's
@@ -587,25 +599,27 @@ class Engine:
         a codes re-upload per chunk)."""
         if knobs is None:
             knobs = make_knobs(policy, pred_policy)
-        fn = self._chunk_vocode_fn(vocoder, chunk_size, full_batch=True)
+        fn = self._chunk_vocode_fn(vocoder, chunk_size, full_batch=True,
+                                   pcm16=pcm16)
         return fn(
             self.talker_params, self.predictor_params, vocoder.params, state,
             tth, self._tth_len_vec(tth_len), tpe, knobs, voc_state,
             policy=policy.static, pred_policy=pred_policy.static,
         )
 
-    def _chunk_vocode_fn(self, vocoder, chunk_size: int, full_batch: bool):
+    def _chunk_vocode_fn(self, vocoder, chunk_size: int, full_batch: bool,
+                         pcm16: bool = False):
         cache = getattr(self, "_chunk_vocode_cache", None)
         if cache is None:
             cache = self._chunk_vocode_cache = {}
         # the cache entry holds a strong ref to the vocoder: id() keys are
         # only unique while the object is alive, and the compiled fn has the
         # vocoder's cfg baked in
-        ck = (id(vocoder), chunk_size, full_batch)
+        ck = (id(vocoder), chunk_size, full_batch, pcm16)
         entry = cache.get(ck)
         if entry is None or entry[0] is not vocoder:
             entry = cache[ck] = (vocoder, self._build_chunk_vocode(
-                vocoder, chunk_size, full_batch=full_batch))
+                vocoder, chunk_size, full_batch=full_batch, pcm16=pcm16))
         return entry[1]
 
     # ------------------------------------------------------------------

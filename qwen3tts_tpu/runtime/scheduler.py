@@ -182,6 +182,12 @@ class ContinuousBatcher:
         self.pred_policy = pred_policy or SamplingPolicy()
         self.engine: Engine = model._batch_engine(max_batch)
         self.knobs = make_knobs(self.policy, self.pred_policy)
+        # fetch audio as device-quantized PCM16 (QWEN3TTS_SERVE_PCM16=0 to
+        # disable): the audio fetch is the dominant per-chunk wire cost at
+        # large B, every server endpoint ships 16-bit anyway, and the host
+        # restores f32 right after the fetch so the API surface (and the
+        # sample budget per request) is unchanged up to 1/32767 quantization
+        self._pcm16 = os.environ.get("QWEN3TTS_SERVE_PCM16", "1") == "1"
         self._pending: "queue.Queue[_Request]" = queue.Queue()
         # primed single-row codec stream states keyed by voice (ref codes
         # content): admitting a repeat voice is a pure device-side scatter
@@ -546,7 +552,7 @@ class ContinuousBatcher:
             out = eng.chunk_vocode_batched(
                 voc, cur_state, tth_dev, jnp.asarray(tth_lens), tpe_dev,
                 self.policy, self.pred_policy, size, cur_voc,
-                knobs=self.knobs)
+                knobs=self.knobs, pcm16=self._pcm16)
             cur_state, cur_voc = out[0], out[6]
             # per-row done AFTER this chunk; `| False` copies it out of the
             # state pytree so the next dispatch's donation can't invalidate it
@@ -722,7 +728,10 @@ class ContinuousBatcher:
                 take = min(valid, req.max_new_tokens - req.steps)
                 if take > 0:
                     req.steps += take  # counted at decode time (budget)
-                    self._deliver(req, audio_np[b, : take * spf], take)
+                    buf = audio_np[b, : take * spf]
+                    if buf.dtype == np.int16:  # pcm16 wire: restore f32
+                        buf = buf.astype(np.float32) / 32767.0
+                    self._deliver(req, buf, take)
                 over_budget = req.steps >= req.max_new_tokens
                 if bool(row_done[b]) or over_budget or req.cancelled:
                     if req.cancelled:
@@ -1079,7 +1088,7 @@ class ContinuousBatcher:
                     voc, state, jnp.zeros((self.B, tb, H), eng.dtype),
                     jnp.zeros((self.B,), jnp.int32), tpe0,
                     self.policy, self.pred_policy, size, vst,
-                    knobs=self.knobs)
+                    knobs=self.knobs, pcm16=self._pcm16)
                 state, vst = out[0], out[6]
                 jax.block_until_ready(out[5])
         eng.release(state)

@@ -148,3 +148,39 @@ def test_host_stateful_stream_decoder(tiny_vocoder):
         i += n
     full = tiny_vocoder.decode(codes)
     np.testing.assert_allclose(np.concatenate(outs), full, atol=1e-5)
+
+
+def test_pcm16_wire_parity(tiny_cfg, tiny_models, tiny_vocoder,
+                           prompt_inputs):
+    """``chunk_vocode_batched(pcm16=True)`` changes ONLY the wire encoding:
+    identical engine state must yield byte-identical frames (the device-side
+    PCM16 quantization sits strictly after the vocoder, so decode math is
+    untouched) and audio equal to the f32 program within one quantization
+    step.  This is the serving fetch-bytes optimization
+    (runtime/scheduler.py QWEN3TTS_SERVE_PCM16)."""
+    from qwen3tts_tpu.runtime.engine import Engine, make_knobs
+
+    tp, pp = tiny_models
+    embeds, tth, tpe = prompt_inputs
+    pol = GenerationPolicy(do_sample=False, min_new_tokens=100)
+    ppol = SamplingPolicy(do_sample=False)
+    knobs = make_knobs(pol, ppol)
+    key = jax.random.PRNGKey(5)
+    outs = {}
+    for pcm16 in (False, True):
+        eng = Engine(tp, pp, tiny_cfg, max_seq_len=64, batch=1)
+        state = eng.prefill(embeds, key, pol)
+        voc_state = tiny_vocoder.stream_state_batched(1)
+        out = eng.chunk_vocode_batched(
+            tiny_vocoder, state, tth, jnp.asarray([tth.shape[1]]), tpe,
+            pol, ppol, 8, voc_state, knobs=knobs, pcm16=pcm16)
+        outs[pcm16] = (np.asarray(out[1]), np.asarray(out[5]))
+
+    frames_f32, audio_f32 = outs[False]
+    frames_i16, audio_i16 = outs[True]
+    np.testing.assert_array_equal(frames_f32, frames_i16)
+    assert audio_f32.dtype == np.float32 and audio_i16.dtype == np.int16
+    # dequant exactly as the scheduler's host side does (scheduler.py)
+    dq = audio_i16.astype(np.float32) / 32767.0
+    clipped = np.clip(audio_f32, -32768.0 / 32767.0, 1.0)
+    np.testing.assert_allclose(dq, clipped, atol=1.0 / 32767)

@@ -763,3 +763,23 @@ def test_long_head_does_not_delay_short_joiner_end_to_end(tiny_tts, ref_wav):
             "short request should start before the gated long head")
     finally:
         b.close()
+
+
+def test_pcm16_flag_honoured(tiny_tts, monkeypatch):
+    """QWEN3TTS_SERVE_PCM16 is read at construction: default on, '0' off.
+    (Audio parity of the two wire encodings is engine-level — see
+    test_fused_stream.py::test_pcm16_wire_parity — because the serving
+    engine's held batch-start position makes fresh end-to-end runs
+    legitimately non-identical on chaotic random weights.)"""
+    monkeypatch.delenv("QWEN3TTS_SERVE_PCM16", raising=False)
+    b = ContinuousBatcher(tiny_tts, max_batch=1, chunk_size=8)
+    try:
+        assert b._pcm16 is True
+    finally:
+        b.close()
+    monkeypatch.setenv("QWEN3TTS_SERVE_PCM16", "0")
+    b = ContinuousBatcher(tiny_tts, max_batch=1, chunk_size=8)
+    try:
+        assert b._pcm16 is False
+    finally:
+        b.close()
