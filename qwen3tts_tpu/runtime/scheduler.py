@@ -140,6 +140,8 @@ class StreamHandle:
             if isinstance(item, Exception):
                 raise item
             audio, timing = item
+            if audio.dtype == np.int16:  # pcm16 wire: restore f32 here,
+                audio = audio.astype(np.float32) / 32767.0  # off the hot loop
             yield audio, self._sr, timing
 
     def cancel(self):
@@ -728,10 +730,12 @@ class ContinuousBatcher:
                 take = min(valid, req.max_new_tokens - req.steps)
                 if take > 0:
                     req.steps += take  # counted at decode time (budget)
-                    buf = audio_np[b, : take * spf]
-                    if buf.dtype == np.int16:  # pcm16 wire: restore f32
-                        buf = buf.astype(np.float32) / 32767.0
-                    self._deliver(req, buf, take)
+                    # pcm16 wire buffers are delivered as int16 views and
+                    # restored to f32 on the CONSUMER's thread
+                    # (StreamHandle.chunks) — the astype+scale is ~2 MB of
+                    # numpy per chunk at B=32, real time on a 1-core host,
+                    # and this fetch loop is the serving serialization point
+                    self._deliver(req, audio_np[b, : take * spf], take)
                 over_budget = req.steps >= req.max_new_tokens
                 if bool(row_done[b]) or over_budget or req.cancelled:
                     if req.cancelled:
